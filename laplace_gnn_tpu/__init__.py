@@ -1,0 +1,10 @@
+"""laplace_gnn_tpu: TPU-native Laplace-GNN framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of the
+Laplace-GNN reference (laplace-torch + vendored curvlinops + GNN graph
+structure learning), built for TPU: functional models over param pytrees,
+matrix-free curvature from jvp/vjp closures, differentiable KFAC marginal
+likelihood, and shard_map-partitioned aggregation for multi-chip scale.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,165 @@
+"""Functional BaseGNN (TPU-native counterpart of reference
+``gnn/models/base_gnn.py``).
+
+The model is a static object holding the full node-feature matrix ``X`` and
+all architecture hyperparameters; the learnable state is a params dict:
+
+    params = {
+        "adj":   (N, N) adjacency — a *hyperparameter* of the posterior,
+                 excluded from the Laplace approximation by name
+                 (reference laplace/baselaplace.py:119),
+        "convs": [conv params per layer],
+        "res":   [residual Linear params]      (if res=True),
+        "norms": [norm params per hidden layer] (excluded from posterior),
+        ...model-specific extras (lora, attention) added by subclasses.
+    }
+
+``apply(params, x_indices)`` runs all layers on the full graph and slices the
+requested output rows at the end (reference gnn/models/base_gnn.py:136-161) —
+full-graph compute is exactly the XLA-friendly shape: one traced program of
+dense matmuls, no data-dependent control flow.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..nn.module import (Linear, TapCollector, activation_resolver, dropout,
+                         make_norm, resolve_dtype)
+
+
+class BaseGNN:
+    def __init__(self,
+                 in_channels: int,
+                 hidden_channels: int,
+                 out_channels: int,
+                 num_layers: int,
+                 X,
+                 init_adj,
+                 dropout_p: float = 0.5,
+                 act: Union[str, Callable, None] = "relu",
+                 act_kwargs: Optional[Dict[str, Any]] = None,
+                 update_adj: bool = False,
+                 norm: Optional[str] = None,
+                 res: bool = False,
+                 symmetric: bool = False,
+                 **kwargs):
+        self.X = jnp.asarray(X)
+        init_adj = jnp.asarray(init_adj, dtype=self.X.dtype)
+
+        self.update_adj = update_adj
+        self.symmetric = symmetric
+        if symmetric:  # treat as undirected (reference :66-70)
+            init_adj = jnp.minimum(init_adj + init_adj.T, 1.0)
+        vals = np.asarray(init_adj)
+        if not np.all((vals == 0) | (vals == 1)):
+            raise ValueError("init_adj must be binary.")
+        self.init_adj = init_adj
+
+        self.in_channels = in_channels
+        self.hidden_channels = hidden_channels
+        self.out_channels = out_channels
+        self.num_layers = num_layers
+        self.dropout_p = dropout_p
+        self.act = activation_resolver(act, **(act_kwargs or {}))
+        self.norm = norm
+        self.use_res = res
+        self.n_outputs = out_channels
+
+        self.norms = [make_norm(norm, hidden_channels, name=f"norms.{i}")
+                      for i in range(num_layers - 1)]
+
+        self.convs = []
+        self.res = []
+        in_ch = in_channels
+        if num_layers > 1:
+            self.convs.append(self.init_conv(in_ch, hidden_channels,
+                                             name="convs.0", **kwargs))
+            if res:
+                self.res.append(Linear(in_ch, hidden_channels, name="res.0"))
+            in_ch = hidden_channels
+        for i in range(num_layers - 2):
+            self.convs.append(self.init_conv(in_ch, hidden_channels,
+                                             name=f"convs.{i + 1}", **kwargs))
+            if res:
+                self.res.append(Linear(in_ch, hidden_channels, name=f"res.{i + 1}"))
+        if out_channels is not None:
+            self.convs.append(self.init_conv(in_ch, out_channels,
+                                             name=f"convs.{len(self.convs)}",
+                                             **kwargs))
+
+    # --- to be provided by subclasses -------------------------------------
+    def init_conv(self, in_channels: int, out_channels: int, name: str, **kwargs):
+        raise NotImplementedError
+
+    def forward_adj(self, params: dict, rng=None):
+        """Effective adjacency used in the forward pass."""
+        raise NotImplementedError
+
+    # --- params -----------------------------------------------------------
+    def init(self, key, dtype=None) -> dict:
+        dtype = resolve_dtype(dtype)
+        n = 2 * len(self.convs) + len(self.res) + len(self.norms)
+        keys = iter(jax.random.split(key, max(n, 1)))
+        params: dict = {"adj": self.init_adj.astype(dtype)}
+        params["convs"] = [c.init(next(keys), dtype) for c in self.convs]
+        if self.res:
+            params["res"] = [r.init(next(keys), dtype) for r in self.res]
+        if self.norm in ("layer", "batch") and self.norms:
+            params["norms"] = [nm.init(next(keys), dtype) for nm in self.norms]
+        return params
+
+    def full_adj(self, params: dict) -> jnp.ndarray:
+        """Raw learned adjacency (reference gnn/models/base_gnn.py:133)."""
+        return params["adj"]
+
+    def reset_adj(self, params: dict) -> dict:
+        out = dict(params)
+        out["adj"] = self.init_adj.astype(params["adj"].dtype)
+        return out
+
+    # --- forward ----------------------------------------------------------
+    def apply(self, params: dict, x_indices=None,
+              taps: Optional[TapCollector] = None,
+              rng=None, train: bool = False) -> jnp.ndarray:
+        adj_rng = drop_rng = None
+        if rng is not None:
+            adj_rng, drop_rng = jax.random.split(rng)
+        adj = self.forward_adj(params, rng=adj_rng)
+        x = self.X.astype(params["adj"].dtype)
+        norms_params = params.get("norms")
+        for i in range(self.num_layers - 1):
+            h = self.convs[i].apply(params["convs"][i], adj, x, taps=taps)
+            if i < len(self.res):
+                h = self.res[i].apply(params["res"][i], x) + h
+            x = h
+            if norms_params is not None:
+                x = self.norms[i].apply(norms_params[i], x)
+            x = self.act(x)
+            if train and drop_rng is not None and self.dropout_p > 0:
+                drop_rng, sub = jax.random.split(drop_rng)
+                x = dropout(sub, x, self.dropout_p, train)
+        x = self.convs[-1].apply(params["convs"][-1], adj, x, taps=taps)
+        if x_indices is None:
+            return x
+        return x[x_indices]
+
+    __call__ = apply
+
+    # --- introspection for Laplace / KFAC ---------------------------------
+    def tap_sites(self, params: dict) -> list[dict]:
+        sites = []
+        for i, conv in enumerate(self.convs):
+            for s in conv.tap_sites():
+                sites.append({**s, "param_path": ("convs", i) + s["param_path"]})
+        for i, r in enumerate(self.res):
+            sites.append({"name": r.name, "param_path": ("res", i),
+                          "has_bias": r.use_bias})
+        return sites
+
+    def last_layer_path(self, params: dict) -> tuple:
+        return ("convs", len(self.convs) - 1, "lin")

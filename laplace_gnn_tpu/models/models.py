@@ -1,0 +1,288 @@
+"""GNN model zoo (TPU-native counterpart of reference ``gnn/models/models.py``).
+
+Every model follows BaseGNN's functional protocol. The straight-through /
+LoRA adjacency transforms are ordinary traced JAX functions built from the
+custom-vjp STEs in ops/adjacency.py, so the whole forward — including the
+adjacency construction — is differentiable and jit-compatible.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Dict, Optional, Union
+
+import jax
+import jax.numpy as jnp
+
+from ..nn.module import Linear, resolve_dtype
+from ..ops.adjacency import (binarize_ste, fill_diagonal, normalize_adj,
+                             sample_neigh_adj, train_adj_mask)
+from .base_gnn import BaseGNN
+from .layers import GATConv, GCNConv, GraphSAGEConv
+
+
+class GCN(BaseGNN):
+    """Normalized-adjacency GCN (reference gnn/models/models.py:14-34)."""
+
+    def __init__(self, in_channels, hidden_channels, out_channels, num_layers,
+                 X, init_adj, dropout_p=0.5,
+                 act: Union[str, Callable, None] = "relu",
+                 act_kwargs: Optional[Dict[str, Any]] = None,
+                 symmetric: bool = False, **kwargs):
+        init_adj = fill_diagonal(jnp.asarray(init_adj), 1.0)  # self-loops
+        super().__init__(in_channels, hidden_channels, out_channels,
+                         num_layers, X, init_adj, dropout_p, act, act_kwargs,
+                         update_adj=False, symmetric=symmetric, **kwargs)
+
+    def forward_adj(self, params, rng=None):
+        return normalize_adj(params["adj"])
+
+    def init_conv(self, in_channels, out_channels, name, **kwargs):
+        return GCNConv(in_channels, out_channels, name=name, **kwargs)
+
+
+class GraphSAGE(BaseGNN):
+    """Mean-aggregation SAGE with optional neighbor sampling
+    (reference gnn/models/models.py:37-63)."""
+
+    def __init__(self, in_channels, hidden_channels, out_channels, num_layers,
+                 X, init_adj, num_sampled_nodes_per_hop: Optional[int] = None,
+                 dropout_p=0.5, act="relu", act_kwargs=None,
+                 symmetric: bool = False, **kwargs):
+        init_adj = fill_diagonal(jnp.asarray(init_adj), 0.0)  # no self-loops
+        super().__init__(in_channels, hidden_channels, out_channels,
+                         num_layers, X, init_adj, dropout_p, act, act_kwargs,
+                         update_adj=False, symmetric=symmetric, **kwargs)
+        self.num_sampled_nodes_per_hop = num_sampled_nodes_per_hop
+
+    def forward_adj(self, params, rng=None):
+        adj = params["adj"]
+        if self.num_sampled_nodes_per_hop is None or rng is None:
+            return adj
+        return adj * sample_neigh_adj(rng, adj, self.num_sampled_nodes_per_hop)
+
+    def init_conv(self, in_channels, out_channels, name, **kwargs):
+        return GraphSAGEConv(in_channels, out_channels, name=name, **kwargs)
+
+
+class STEGCN(BaseGNN):
+    """GCN whose adjacency is a learnable parameter passed through a
+    straight-through binarization (reference gnn/models/models.py:65-118)."""
+
+    def __init__(self, in_channels, hidden_channels, out_channels, num_layers,
+                 X, init_adj, dropout_p=0.5, act="relu", act_kwargs=None,
+                 threshold: float = 0.5, train_masked_update: bool = False,
+                 train_nodes=None, symmetric: bool = False,
+                 sign_grad: bool = False, **kwargs):
+        init_adj = fill_diagonal(jnp.asarray(init_adj), 1.0)
+        super().__init__(in_channels, hidden_channels, out_channels,
+                         num_layers, X, init_adj, dropout_p, act, act_kwargs,
+                         update_adj=True, symmetric=symmetric, **kwargs)
+        self.threshold = threshold
+        self.sign_grad = sign_grad
+        self.train_masked_update = train_masked_update
+        if train_masked_update:
+            if train_nodes is None:
+                raise ValueError("'train_nodes' must be provided to use "
+                                 "train_masked_update.")
+            mask = train_adj_mask(self.init_adj.shape[0],
+                                  jnp.asarray(train_nodes))
+            # soft mask (reference :95)
+            self.grad_adj_mask = jnp.where(mask == 0, 0.1, mask)
+        else:
+            self.grad_adj_mask = None
+
+    def full_adj(self, params):
+        return (params["adj"] > self.threshold).astype(params["adj"].dtype)
+
+    def forward_adj(self, params, rng=None):
+        adj = params["adj"]
+        if self.symmetric:
+            adj = (adj + adj.T) / 2
+        adj = binarize_ste(adj, self.threshold, self.grad_adj_mask,
+                           self.sign_grad)
+        adj = fill_diagonal(adj, 1.0)
+        return normalize_adj(adj)
+
+    def init_conv(self, in_channels, out_channels, name, **kwargs):
+        return GCNConv(in_channels, out_channels, name=name, **kwargs)
+
+
+class STEGraphSAGE(BaseGNN):
+    """SAGE over an STE-binarized learnable adjacency
+    (reference gnn/models/models.py:121-183). Note the reference returns the
+    binarized adjacency *without* normalization or self-loops here."""
+
+    def __init__(self, in_channels, hidden_channels, out_channels, num_layers,
+                 X, init_adj, num_sampled_nodes_per_hop: Optional[int] = None,
+                 dropout_p=0.5, act="relu", act_kwargs=None,
+                 threshold: float = 0.5, train_masked_update: bool = False,
+                 train_nodes=None, symmetric: bool = False,
+                 sign_grad: bool = False, **kwargs):
+        init_adj = fill_diagonal(jnp.asarray(init_adj), 0.0)
+        super().__init__(in_channels, hidden_channels, out_channels,
+                         num_layers, X, init_adj, dropout_p, act, act_kwargs,
+                         update_adj=True, symmetric=symmetric, **kwargs)
+        self.threshold = threshold
+        self.sign_grad = sign_grad
+        self.num_sampled_nodes_per_hop = num_sampled_nodes_per_hop
+        self.train_masked_update = train_masked_update
+        if train_masked_update:
+            if train_nodes is None:
+                raise ValueError("'train_nodes' must be provided to use "
+                                 "train_masked_update.")
+            self.grad_adj_mask = train_adj_mask(self.init_adj.shape[0],
+                                                jnp.asarray(train_nodes))
+        else:
+            self.grad_adj_mask = None
+
+    def full_adj(self, params):
+        return (params["adj"] > self.threshold).astype(params["adj"].dtype)
+
+    def forward_adj(self, params, rng=None):
+        adj = params["adj"]
+        if self.symmetric:
+            adj = (adj + adj.T) / 2
+        return binarize_ste(adj, self.threshold, self.grad_adj_mask,
+                            self.sign_grad)
+
+    def init_conv(self, in_channels, out_channels, name, **kwargs):
+        return GraphSAGEConv(in_channels, out_channels, name=name, **kwargs)
+
+
+class LoRASTEGCN(BaseGNN):
+    """STE-GCN where the adjacency update is parameterized low-rank:
+    adj_eff = STE(adj + B @ A * alpha/r) (reference gnn/models/models.py:186-235).
+    The LoRA factors are named ``adj_lora_*`` so they are excluded from the
+    Laplace posterior by the same name filter as ``adj`` itself."""
+
+    def __init__(self, in_channels, hidden_channels, out_channels, num_layers,
+                 X, init_adj, r: int, lora_alpha: float, dropout_p=0.5,
+                 act="relu", act_kwargs=None, threshold: float = 0.5,
+                 symmetric: bool = False, **kwargs):
+        super().__init__(in_channels, hidden_channels, out_channels,
+                         num_layers, X, init_adj, dropout_p, act, act_kwargs,
+                         update_adj=True, symmetric=symmetric, **kwargs)
+        self.threshold = threshold
+        self.r = r
+        self.lora_alpha = lora_alpha
+        self.scaling = lora_alpha / r
+
+    def init(self, key, dtype=None) -> dict:
+        dtype = resolve_dtype(dtype)
+        pkey, akey, bkey = jax.random.split(key, 3)
+        params = super().init(pkey, dtype)
+        n = self.init_adj.shape[0]
+        # kaiming_uniform(a=sqrt(5)) on (r, N): bound = 1/sqrt(N) (reference :225)
+        bound = 1.0 / math.sqrt(n)
+        params["adj_lora_A"] = jax.random.uniform(akey, (self.r, n), dtype,
+                                                  -bound, bound)
+        params["adj_lora_B"] = jax.random.normal(bkey, (n, self.r), dtype)
+        return params
+
+    def full_adj(self, params):
+        return (params["adj"] > self.threshold).astype(params["adj"].dtype)
+
+    def forward_adj(self, params, rng=None):
+        adj = params["adj"] + (params["adj_lora_B"] @ params["adj_lora_A"]) \
+            * self.scaling
+        if self.symmetric:
+            adj = (adj + adj.T) / 2
+        adj = binarize_ste(adj, self.threshold)
+        adj = fill_diagonal(adj, 1.0)
+        return normalize_adj(adj)
+
+    def init_conv(self, in_channels, out_channels, name, **kwargs):
+        return GCNConv(in_channels, out_channels, name=name, **kwargs)
+
+
+class GAT(BaseGNN):
+    """Dense multi-head graph attention (reference gnn/models/models.py:238-275)."""
+
+    def __init__(self, in_channels, hidden_channels, out_channels, num_layers,
+                 X, init_adj, dropout_p=0.5, act="relu", act_kwargs=None,
+                 symmetric: bool = False, **kwargs):
+        init_adj = fill_diagonal(jnp.asarray(init_adj), 1.0)
+        super().__init__(in_channels, hidden_channels, out_channels,
+                         num_layers, X, init_adj, dropout_p, act, act_kwargs,
+                         update_adj=False, symmetric=symmetric, **kwargs)
+
+    def forward_adj(self, params, rng=None):
+        return params["adj"]
+
+    def init_conv(self, in_channels, out_channels, name, **kwargs):
+        heads = kwargs.pop("heads", 1)
+        concat = kwargs.pop("concat", True)
+        if concat and out_channels % heads != 0:
+            raise ValueError(
+                f"Ensure that the number of output channels of 'GATConv' "
+                f"(got '{out_channels}') is divisible by the number of heads "
+                f"(got '{heads}')")
+        if concat:
+            out_channels = out_channels // heads
+        return GATConv(in_channels, out_channels, heads=heads, concat=concat,
+                       name=name, **kwargs)
+
+
+class AttSTEGCN(BaseGNN):
+    """Adjacency constructed by scaled dot-product attention over node
+    features, then STE-binarized (reference gnn/models/models.py:278-355,
+    experimental). The attention projection is named ``adj_W`` so it shares
+    the reference's accidental-but-load-bearing property of being excluded
+    from the Laplace posterior by the 'adj' name filter."""
+
+    def __init__(self, in_channels, hidden_channels, out_channels, num_layers,
+                 X, init_adj, dropout_p=0.5, act="relu", act_kwargs=None,
+                 threshold: float = 0.5, train_masked_update: bool = False,
+                 train_nodes=None, symmetric: bool = False, d_k: int = 8,
+                 **kwargs):
+        super().__init__(in_channels, hidden_channels, out_channels,
+                         num_layers, X, init_adj, dropout_p, act, act_kwargs,
+                         update_adj=False, symmetric=symmetric, **kwargs)
+        self.threshold = threshold
+        self.d_k = d_k
+        self.scale = math.sqrt(d_k)
+        self.adj_W = Linear(in_channels, d_k, bias=False, name="adj_W")
+        self.train_masked_update = train_masked_update
+        if train_masked_update:
+            if train_nodes is None:
+                raise ValueError("'train_nodes' must be provided to use "
+                                 "train_masked_update.")
+            self.grad_adj_mask = train_adj_mask(self.init_adj.shape[0],
+                                                jnp.asarray(train_nodes))
+        else:
+            self.grad_adj_mask = None
+
+    def init(self, key, dtype=None) -> dict:
+        dtype = resolve_dtype(dtype)
+        pkey, wkey = jax.random.split(key)
+        params = super().init(pkey, dtype)
+        params["adj_W"] = self.adj_W.init(wkey, dtype)
+        return params
+
+    def construct_adj(self, params):
+        src = dst = self.adj_W.apply(params["adj_W"], self.X)
+        score = (src @ dst.T) / self.scale
+        return jnp.clip(score, 0.0, 1.0)  # hardtanh(0, 1) (reference :345)
+
+    def forward_adj(self, params, rng=None):
+        adj = self.construct_adj(params)
+        if self.symmetric:
+            adj = (adj + adj.T) / 2
+        adj = binarize_ste(adj, self.threshold, self.grad_adj_mask)
+        adj = fill_diagonal(adj, 1.0)
+        return normalize_adj(adj)
+
+    def init_conv(self, in_channels, out_channels, name, **kwargs):
+        return GCNConv(in_channels, out_channels, name=name, **kwargs)
+
+
+MODEL_REGISTRY = {
+    "gcn": GCN,
+    "stegcn": STEGCN,
+    "lorastegcn": LoRASTEGCN,
+    "gat": GAT,
+    "graphsage": GraphSAGE,
+    "stegraphsage": STEGraphSAGE,
+    "attstegcn": AttSTEGCN,
+}

@@ -1,0 +1,183 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from laplace_gnn_tpu.models import (GAT, GCN, AttSTEGCN, GraphSAGE,
+                                    LoRASTEGCN, STEGCN, STEGraphSAGE)
+from laplace_gnn_tpu.nn import TapCollector
+from laplace_gnn_tpu.ops import fill_diagonal, normalize_adj
+from laplace_gnn_tpu.utils import posterior_mask, named_leaves, split_by_mask
+
+N, D, H, C = 10, 7, 8, 3
+
+
+@pytest.fixture
+def graph():
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    X = jax.random.normal(k1, (N, D))
+    a = (jax.random.uniform(k2, (N, N)) < 0.3).astype(jnp.float64)
+    adj = jnp.minimum(a + a.T, 1.0) * (1 - jnp.eye(N))
+    return X, adj
+
+
+def _forward(model, seed=0, **kw):
+    params = model.init(jax.random.PRNGKey(seed))
+    out = model.apply(params, jnp.arange(4), **kw)
+    return params, out
+
+
+def test_gcn_forward_matches_manual(graph):
+    X, adj = graph
+    model = GCN(D, H, C, 2, X, adj)
+    params, out = _forward(model)
+    assert out.shape == (4, C)
+
+    # manual: relu(normadj @ (X W0^T + b0)) -> normadj @ (. W1^T + b1)
+    na = np.asarray(normalize_adj(fill_diagonal(adj, 1.0)))
+    W0 = np.asarray(params["convs"][0]["lin"]["weight"])
+    b0 = np.asarray(params["convs"][0]["lin"]["bias"])
+    W1 = np.asarray(params["convs"][1]["lin"]["weight"])
+    b1 = np.asarray(params["convs"][1]["lin"]["bias"])
+    h = np.maximum(na @ (np.asarray(X) @ W0.T + b0), 0.0)
+    expected = (na @ (h @ W1.T + b1))[:4]
+    np.testing.assert_allclose(np.asarray(out), expected, atol=1e-10)
+
+
+def test_gcn_full_output_and_slice(graph):
+    X, adj = graph
+    model = GCN(D, H, C, 2, X, adj)
+    params = model.init(jax.random.PRNGKey(1))
+    full = model.apply(params)
+    sl = model.apply(params, jnp.array([3, 5]))
+    np.testing.assert_allclose(np.asarray(full)[[3, 5]], np.asarray(sl))
+
+
+def test_three_layer_gcn_and_residual_and_norm(graph):
+    X, adj = graph
+    for norm in (None, "layer", "batch"):
+        model = GCN(D, H, C, 3, X, adj, norm=norm, res=True)
+        params, out = _forward(model)
+        assert out.shape == (4, C)
+        assert len(params["convs"]) == 3
+        assert len(params["res"]) == 2
+        if norm is not None:
+            assert len(params["norms"]) == 2
+
+
+def test_stegcn_adj_gradient_flows(graph):
+    X, adj = graph
+    model = STEGCN(D, H, C, 2, X, adj, threshold=0.5)
+    params = model.init(jax.random.PRNGKey(0))
+
+    def loss(params):
+        return jnp.sum(model.apply(params, jnp.arange(N)) ** 2)
+
+    g = jax.grad(loss)(params)
+    assert np.abs(np.asarray(g["adj"])).sum() > 0
+    # binarized forward adjacency support
+    fa = model.full_adj(params)
+    assert set(np.unique(np.asarray(fa))) <= {0.0, 1.0}
+
+
+def test_stegcn_sign_and_mask(graph):
+    X, adj = graph
+    train_nodes = jnp.array([0, 1, 2])
+    model = STEGCN(D, H, C, 2, X, adj, train_masked_update=True,
+                   train_nodes=train_nodes, sign_grad=True)
+    params = model.init(jax.random.PRNGKey(0))
+    g = jax.grad(lambda p: jnp.sum(model.apply(p, jnp.arange(N))))(params)
+    vals = np.unique(np.abs(np.asarray(g["adj"])))
+    # sign-grad: gradient entries in {-1, 0, 1}
+    assert set(np.round(vals, 6)) <= {0.0, 1.0}
+
+
+def test_lorastegcn(graph):
+    X, adj = graph
+    model = LoRASTEGCN(D, H, C, 2, X, adj, r=4, lora_alpha=8.0)
+    params, out = _forward(model)
+    assert params["adj_lora_A"].shape == (4, N)
+    assert params["adj_lora_B"].shape == (N, 4)
+    g = jax.grad(lambda p: jnp.sum(model.apply(p, jnp.arange(N))))(params)
+    assert np.abs(np.asarray(g["adj_lora_B"])).sum() > 0
+
+
+def test_gat_forward_rowsum(graph):
+    X, adj = graph
+    model = GAT(D, H, C, 2, X, adj, heads=2, concat=False)
+    params, out = _forward(model)
+    assert out.shape == (4, C)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_gat_heads_divisibility(graph):
+    X, adj = graph
+    with pytest.raises(ValueError):
+        GAT(D, H, 5, 2, X, adj, heads=2, concat=True)
+
+
+def test_graphsage_mean_agg(graph):
+    X, adj = graph
+    model = GraphSAGE(D, H, C, 2, X, adj, num_sampled_nodes_per_hop=None)
+    params, out = _forward(model)
+    assert out.shape == (4, C)
+    # sampling path with rng
+    model_s = GraphSAGE(D, H, C, 2, X, adj, num_sampled_nodes_per_hop=2)
+    out2 = model_s.apply(params, jnp.arange(4), rng=jax.random.PRNGKey(5))
+    assert out2.shape == (4, C)
+
+
+def test_stegraphsage(graph):
+    X, adj = graph
+    model = STEGraphSAGE(D, H, C, 2, X, adj, num_sampled_nodes_per_hop=None)
+    params, out = _forward(model)
+    g = jax.grad(lambda p: jnp.sum(model.apply(p, jnp.arange(N))))(params)
+    assert np.abs(np.asarray(g["adj"])).sum() > 0
+
+
+def test_attstegcn_posterior_excludes_adj_W(graph):
+    X, adj = graph
+    model = AttSTEGCN(D, H, C, 2, X, adj, d_k=4)
+    params, out = _forward(model)
+    mask = posterior_mask(params)
+    sel, _ = split_by_mask(params, mask)
+    names = [n for n, l in named_leaves(sel) if l is not None]
+    assert not any("adj" in n for n in names)
+    assert any("convs" in n for n in names)
+
+
+def test_dropout_train_vs_eval(graph):
+    X, adj = graph
+    model = GCN(D, H, C, 2, X, adj, dropout_p=0.5)
+    params = model.init(jax.random.PRNGKey(0))
+    out_eval = model.apply(params, jnp.arange(N))
+    out_eval2 = model.apply(params, jnp.arange(N))
+    np.testing.assert_allclose(np.asarray(out_eval), np.asarray(out_eval2))
+    out_train = model.apply(params, jnp.arange(N), rng=jax.random.PRNGKey(1),
+                            train=True)
+    assert not np.allclose(np.asarray(out_eval), np.asarray(out_train))
+
+
+def test_taps_recorded(graph):
+    X, adj = graph
+    model = GCN(D, H, C, 2, X, adj)
+    params = model.init(jax.random.PRNGKey(0))
+    taps = TapCollector()
+    model.apply(params, jnp.arange(N), taps=taps)
+    assert len(taps.records) == 2
+    names = [r[0] for r in taps.records]
+    assert names == ["convs.0", "convs.1"]
+    a0, s0 = taps.records[0][1], taps.records[0][2]
+    assert a0.shape == (N, D) and s0.shape == (N, H)
+
+
+def test_jit_forward(graph):
+    X, adj = graph
+    model = GCN(D, H, C, 2, X, adj)
+    params = model.init(jax.random.PRNGKey(0))
+    f = jax.jit(lambda p, idx: model.apply(p, idx))
+    out = f(params, jnp.arange(4))
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(model.apply(params, jnp.arange(4))),
+                               atol=1e-12)
