@@ -1,0 +1,12 @@
+from .base import LinearOperator, PyTreeOperator
+from .interface import (BACKEND_REGISTRY, CurvatureBackend, EFBackend,
+                        GGNBackend, HessianBackend)
+from .kfac import compute_kfac_factors
+from .losses import (cross_entropy_sum, get_loss_fn, likelihood_factor,
+                     loss_hessian, loss_hessian_diag, loss_hessian_mvp,
+                     loss_hessian_sqrt, mse_sum)
+from .operators import (DiagShiftOperator, EFOperator, FisherMCOperator,
+                        GGNOperator, HessianOperator, JacobianOperator,
+                        OuterProductOperator, Projector, ScaledOperator,
+                        SubmatrixOperator, SumOperator,
+                        TransposedJacobianOperator)

@@ -1,0 +1,289 @@
+"""Curvature backend interface (L2 of the reference's layer map).
+
+TPU-native counterpart of ``laplace/curvature/curvature.py`` (:12
+CurvatureInterface, :294 GGNInterface, :435 EFInterface) and the default
+curvlinops backend (laplace/curvature/curvlinops.py:22). One backend class
+family covers what the reference spreads over four third-party autodiff
+libraries — jvp/vjp/jacrev are the only substrate.
+
+A backend is constructed from (model, params, likelihood); the posterior
+parameter subset ``w`` is selected by name-exclusion of 'adj'/'norms'
+(reference laplace/curvature/curvature.py:77) plus an optional last-layer
+restriction or subnetwork index set.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..nn.module import get_subtree, set_subtree
+from ..utils.pytree import (DEFAULT_EXCLUDE, merge_split, posterior_mask,
+                            split_by_mask, tree_size, tree_unflattener,
+                            tree_vector)
+from .kfac import compute_kfac_factors
+from .losses import (get_loss_fn, likelihood_factor, loss_hessian,
+                     loss_hessian_sqrt, sample_labels)
+
+
+class CurvatureBackend:
+    """Base backend: jacobians / per-sample gradients / full / diag / kron.
+
+    Parameters
+    ----------
+    model : module with ``apply(params, X, taps=...)`` and ``tap_sites``
+    params : full parameter pytree (posterior + frozen)
+    likelihood : 'classification' | 'regression' | 'reward_modeling'
+    last_layer : restrict the posterior to the last layer's params
+    subnetwork_indices : indices into the flat posterior vector
+    exclude : name fragments excluded from the posterior
+    """
+
+    def __init__(self, model, params, likelihood: str,
+                 last_layer: bool = False,
+                 subnetwork_indices: Optional[jnp.ndarray] = None,
+                 exclude=DEFAULT_EXCLUDE):
+        self.model = model
+        self.likelihood = likelihood
+        self.lossfunc = get_loss_fn(likelihood)
+        self.factor = likelihood_factor(likelihood)
+        self.last_layer = last_layer
+        self.subnetwork_indices = subnetwork_indices
+        self.exclude = tuple(exclude)
+        self.set_params(params)
+
+    # -- parameter bookkeeping -------------------------------------------
+    def set_params(self, params) -> None:
+        self.params = params
+        mask = posterior_mask(params, self.exclude)
+        if self.last_layer:
+            ll_path = self.model.last_layer_path(params)
+            ll_only = jax.tree_util.tree_map(lambda _: False, mask)
+            ll_only = set_subtree(ll_only, ll_path,
+                                  get_subtree(mask, ll_path))
+            mask = ll_only
+        self.mask = mask
+        self.w, self.frozen = split_by_mask(params, mask)
+        self._unflatten = tree_unflattener(self.w)
+        self.n_params_full = tree_size(self.w)
+
+    @property
+    def n_params(self) -> int:
+        if self.subnetwork_indices is not None:
+            return int(len(self.subnetwork_indices))
+        return self.n_params_full
+
+    def mean_vector(self) -> jnp.ndarray:
+        theta = tree_vector(self.w)
+        if self.subnetwork_indices is not None:
+            theta = theta[self.subnetwork_indices]
+        return theta
+
+    def model_fn(self, w, X) -> jnp.ndarray:
+        return self.model.apply(merge_split(w, self.frozen), X)
+
+    def loss(self, X, y) -> jnp.ndarray:
+        """factor * sum-loss on one batch."""
+        f = self.model_fn(self.w, X)
+        return self.factor * self.lossfunc(f, y)
+
+    # -- jacobians --------------------------------------------------------
+    def jacobians(self, X) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """(Js (M, C, P), f (M, C)) w.r.t. the flat posterior vector, via
+        jacrev over the functional call (reference curvature.py:89-130)."""
+        f, pullback = jax.vjp(lambda w_: self.model_fn(w_, X), self.w)
+        M, C = f.shape
+        eye = jnp.eye(C, dtype=f.dtype)
+
+        def row(m, c):
+            cot = jnp.zeros_like(f).at[m].set(eye[c])
+            return tree_vector(pullback(cot)[0])
+
+        Js = jax.vmap(lambda m: jax.vmap(lambda c: row(m, c))(jnp.arange(C)))(
+            jnp.arange(M))
+        if self.subnetwork_indices is not None:
+            Js = Js[:, :, self.subnetwork_indices]
+        return Js, f
+
+    def last_layer_jacobians(self, X) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Closed-form last-layer Jacobian from penultimate features
+        (reference curvature.py:132-167): f = phi W^T + b, so
+        d f_c / d b = e_c and d f_c / d W_{c', d} = delta_{cc'} phi_d.
+        Block order matches tree-leaf order (bias first, then weight)."""
+        phi, f = self.model.features(self.params, X)
+        M, C = f.shape
+        D = phi.shape[-1]
+        eye = jnp.eye(C, dtype=f.dtype)
+        ll = get_subtree(self.w, self.model.last_layer_path(self.params))
+        has_bias = isinstance(ll, dict) and ll.get("bias") is not None
+        Jw = jnp.einsum("ck,md->mckd", eye, phi).reshape(M, C, C * D)
+        if has_bias:
+            Jb = jnp.tile(eye[None], (M, 1, 1))
+            Js = jnp.concatenate([Jb, Jw], axis=-1)
+        else:
+            Js = Jw
+        return Js, f
+
+    # -- per-sample gradients --------------------------------------------
+    def gradients(self, X, y) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Per-sample gradients Gs (M, P) of the *raw* sum-loss and the total
+        raw loss (reference curvature.py:169-210; no factor applied)."""
+        def per_sample_losses(w_):
+            f = self.model_fn(w_, X)
+            return jax.vmap(
+                lambda fi, yi: self.lossfunc(fi[None], yi[None])
+            )(f, y)
+
+        losses, pullback = jax.vjp(per_sample_losses, self.w)
+        M = losses.shape[0]
+        eye = jnp.eye(M, dtype=losses.dtype)
+        Gs = jax.vmap(lambda e: tree_vector(pullback(e)[0]))(eye)
+        if self.subnetwork_indices is not None:
+            Gs = Gs[:, self.subnetwork_indices]
+        return Gs, jnp.sum(losses)
+
+    # -- to be provided by subclasses -------------------------------------
+    def full(self, X, y, N: Optional[int] = None):
+        raise NotImplementedError
+
+    def diag(self, X, y, N: Optional[int] = None):
+        raise NotImplementedError
+
+    def kron(self, X, y, N: int, **kwargs):
+        raise NotImplementedError
+
+    _kron_fisher_type: str = "type-2"
+
+    def _kron(self, X, y, N: int, fisher_type: Optional[str] = None,
+              mc_samples: int = 1, kfac_approx: str = "expand", seed: int = 0):
+        """Shared KFAC path (laplace/curvature/curvlinops.py:77-108):
+        compute factors on this batch, rescale A by M/N, multiply by factor."""
+        kron = compute_kfac_factors(
+            self.model, self.params, X, y,
+            likelihood=self.likelihood,
+            fisher_type=fisher_type or self._kron_fisher_type,
+            mc_samples=mc_samples, kfac_approx=kfac_approx,
+            exclude=self.exclude, last_layer=self.last_layer,
+            N=N, seed=seed)
+        kron = kron * self.factor
+        loss = self.loss(X, y)
+        return loss, kron
+
+
+class GGNBackend(CurvatureBackend):
+    """GGN / type-2 Fisher backend (reference GGNInterface + CurvlinopsGGN).
+
+    With ``stochastic=True`` uses MC Fisher (laplace/curvature/curvlinops.py:160).
+    """
+
+    def __init__(self, *args, stochastic: bool = False, mc_samples: int = 1,
+                 **kwargs):
+        self.stochastic = stochastic
+        self.mc_samples = mc_samples
+        super().__init__(*args, **kwargs)
+
+    @property
+    def _kron_fisher_type(self):
+        return "mc" if self.stochastic else "type-2"
+
+    def _functional_middle(self, f, key=None):
+        """Middle matrix (M, C, C): exact loss Hessian for classification,
+        None (identity) for regression, or MC outer products of functional
+        gradients when stochastic (reference curvature.py:341-372)."""
+        if self.stochastic:
+            key = key if key is not None else jax.random.PRNGKey(0)
+            F = jnp.zeros(f.shape + f.shape[-1:], f.dtype)
+            for m in range(self.mc_samples):
+                k = jax.random.fold_in(key, m)
+                if self.likelihood == "regression":
+                    g = -jax.random.normal(k, f.shape, f.dtype)  # f - N(f, 1)
+                else:
+                    p = jax.nn.softmax(f, axis=-1)
+                    y_idx = jax.random.categorical(k, f, axis=-1)
+                    g = p - jax.nn.one_hot(y_idx, f.shape[-1], dtype=f.dtype)
+                F = F + jnp.einsum("bc,bk->bck", g, g) / self.mc_samples
+            return F
+        if self.likelihood == "regression":
+            return None
+        return loss_hessian(self.likelihood, f)
+
+    def _jacs(self, X):
+        if self.last_layer and getattr(self.model, "last_layer_closed_form",
+                                       False):
+            return self.last_layer_jacobians(X)
+        return self.jacobians(X)
+
+    def full(self, X, y, N=None):
+        Js, f = self._jacs(X)
+        H_lik = self._functional_middle(f)
+        if H_lik is None:  # exact GGN for regression (reference :396-399)
+            H = jnp.einsum("bcp,bcq->pq", Js, Js)
+        else:
+            H = jnp.einsum("bcp,bck,bkq->pq", Js, H_lik, Js)
+        return self.factor * self.lossfunc(f, y), H
+
+    def diag(self, X, y, N=None):
+        Js, f = self._jacs(X)
+        H_lik = self._functional_middle(f)
+        if H_lik is None:
+            h = jnp.einsum("bcp,bcp->p", Js, Js)
+        else:
+            h = jnp.einsum("bcp,bck,bkp->p", Js, H_lik, Js)
+        return self.factor * self.lossfunc(f, y), h
+
+    def kron(self, X, y, N, **kw):
+        kw.setdefault("mc_samples", self.mc_samples)
+        return self._kron(X, y, N, **kw)
+
+
+class EFBackend(CurvatureBackend):
+    """Empirical Fisher backend (reference EFInterface + CurvlinopsEF)."""
+
+    _kron_fisher_type = "empirical"
+
+    def full(self, X, y, N=None):
+        Gs, loss = self.gradients(X, y)
+        return self.factor * loss, self.factor * (Gs.T @ Gs)
+
+    def diag(self, X, y, N=None):
+        Gs, loss = self.gradients(X, y)
+        return self.factor * loss, self.factor * jnp.sum(Gs * Gs, axis=0)
+
+    def kron(self, X, y, N, **kw):
+        return self._kron(X, y, N, **kw)
+
+
+class HessianBackend(CurvatureBackend):
+    """Exact-Hessian backend (reference CurvlinopsHessian)."""
+
+    def full(self, X, y, N=None):
+        def total_loss(flat_w):
+            w_ = self._unflatten(flat_w)
+            f = self.model_fn(w_, X)
+            return self.lossfunc(f, y)
+
+        theta = tree_vector(self.w)
+        if self.subnetwork_indices is not None:
+            idx = self.subnetwork_indices
+
+            def sub_loss(sub):
+                return total_loss(theta.at[idx].set(sub))
+
+            H = jax.hessian(sub_loss)(theta[idx])
+        else:
+            H = jax.hessian(total_loss)(theta)
+        return self.loss(X, y), self.factor * H
+
+    def diag(self, X, y, N=None):
+        loss, H = self.full(X, y)
+        return loss, jnp.diag(H)
+
+
+BACKEND_REGISTRY = {
+    "ggn": GGNBackend,
+    "ef": EFBackend,
+    "hessian": HessianBackend,
+}

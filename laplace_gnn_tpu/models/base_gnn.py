@@ -150,6 +150,21 @@ class BaseGNN:
 
     __call__ = apply
 
+    # The last Linear's output is aggregated (adj @ s) before becoming the
+    # model output, so the closed-form features x I last-layer Jacobian is
+    # NOT exact for GNNs; last-layer Laplace falls back to autodiff Jacobians
+    # (exact), unlike the reference whose FeatureExtractor would silently
+    # linearize the wrong map.
+    last_layer_closed_form = False
+
+    def features(self, params: dict, X=None) -> tuple:
+        """(input activations of the last dense layer, model output)."""
+        taps = TapCollector()
+        f = self.apply(params, X, taps=taps)
+        last = self.convs[-1].name
+        a = [a for (n, a, s) in taps.records if n == last][-1]
+        return a, f
+
     # --- introspection for Laplace / KFAC ---------------------------------
     def tap_sites(self, params: dict) -> list[dict]:
         sites = []

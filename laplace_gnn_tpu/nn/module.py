@@ -231,6 +231,19 @@ class MLP:
                 h = self.act(h)
         return h
 
+    # the final Linear's output IS the model output, so the closed-form
+    # last-layer Jacobian (features x I) is exact
+    last_layer_closed_form = True
+
+    def features(self, params: dict, X) -> tuple:
+        """(penultimate features, output) — FeatureExtractor analog
+        (reference laplace/utils/feature_extractor.py:131-216), via taps."""
+        taps = TapCollector()
+        f = self.apply(params, X, taps=taps)
+        last = self.layers[-1].name
+        a = [a for (n, a, s) in taps.records if n == last][-1]
+        return a, f
+
     # --- introspection used by Laplace / KFAC ---
     def tap_sites(self, params: dict) -> list[dict]:
         """Static description of KFAC-able sites in tap order:

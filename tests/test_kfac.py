@@ -1,0 +1,164 @@
+"""KFAC factor computation: exactness on single samples, scaling conventions,
+fisher types, and differentiability w.r.t. the adjacency."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from laplace_gnn_tpu.curvature import compute_kfac_factors
+from laplace_gnn_tpu.curvature.oracles import functorch_ef, functorch_ggn
+from laplace_gnn_tpu.nn import MLP
+from laplace_gnn_tpu.utils import named_leaves, tree_size
+
+D, H, C = 3, 4, 2
+
+
+def block_slices(params):
+    """Start/stop of each leaf in the flat vector (tree order)."""
+    out, cur = {}, 0
+    for name, leaf in named_leaves(params):
+        n = int(np.prod(leaf.shape))
+        out[name] = (cur, cur + n)
+        cur += n
+    return out
+
+
+def setup(likelihood, M=1, seed=0):
+    keys = jax.random.split(jax.random.PRNGKey(seed), 3)
+    model = MLP([D, H, C], act="tanh")
+    params = model.init(keys[0])
+    X = jax.random.normal(keys[1], (M, D))
+    if likelihood == "classification":
+        y = jax.random.randint(keys[2], (M,), 0, C)
+    else:
+        y = jax.random.normal(keys[2], (M, C))
+    return model, params, X, y
+
+
+@pytest.mark.parametrize("likelihood", ["classification", "regression"])
+def test_single_sample_kfac_equals_blockdiag_ggn(likelihood):
+    """For a single datum, KFAC weight blocks B (x) A equal the exact
+    layer-diagonal GGN blocks (no expectation approximation)."""
+    model, params, X, y = setup(likelihood, M=1)
+    kron = compute_kfac_factors(model, params, X, y, likelihood,
+                                fisher_type="type-2", N=1)
+    ggn = functorch_ggn(lambda w, X: model.apply(w, X), likelihood,
+                        params, [(X, y)])
+    sl = block_slices(params)
+    dense = np.asarray(kron.to_matrix())
+    cur = 0
+    for name, leaf in named_leaves(params):
+        n = int(np.prod(leaf.shape))
+        a, b = sl[name]
+        np.testing.assert_allclose(
+            dense[cur:cur + n, cur:cur + n],
+            np.asarray(ggn)[a:b, a:b], atol=1e-8,
+            err_msg=f"block {name}")
+        cur += n
+
+
+def test_single_sample_empirical_equals_ef_blocks():
+    model, params, X, y = setup("classification", M=1)
+    kron = compute_kfac_factors(model, params, X, y, "classification",
+                                fisher_type="empirical", N=1)
+    ef = functorch_ef(lambda w, X: model.apply(w, X), "classification",
+                      params, [(X, y)])
+    dense = np.asarray(kron.to_matrix())
+    cur = 0
+    for name, leaf in named_leaves(params):
+        n = int(np.prod(leaf.shape))
+        np.testing.assert_allclose(
+            dense[cur:cur + n, cur:cur + n],
+            np.asarray(ef)[cur:cur + n, cur:cur + n], atol=1e-8)
+        cur += n
+
+
+def test_A_scaling_with_N():
+    model, params, X, y = setup("classification", M=4)
+    k1 = compute_kfac_factors(model, params, X, y, "classification", N=4)
+    k2 = compute_kfac_factors(model, params, X, y, "classification", N=8)
+    # A factors scale as 1/N, B factors don't
+    np.testing.assert_allclose(np.asarray(k1.kfacs[1][1]),
+                               2 * np.asarray(k2.kfacs[1][1]), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(k1.kfacs[1][0]),
+                               np.asarray(k2.kfacs[1][0]), atol=1e-10)
+
+
+def test_mc_close_to_type2():
+    model, params, X, y = setup("classification", M=8, seed=1)
+    kt2 = compute_kfac_factors(model, params, X, y, "classification",
+                               fisher_type="type-2", N=8)
+    kmc = compute_kfac_factors(model, params, X, y, "classification",
+                               fisher_type="mc", mc_samples=3000, N=8)
+    for g2, gm in zip(kt2.kfacs, kmc.kfacs):
+        # B factors agree in expectation; A factors exactly
+        np.testing.assert_allclose(np.asarray(gm[0]), np.asarray(g2[0]),
+                                   atol=0.1, rtol=0.3)
+        if len(g2) == 2:
+            np.testing.assert_allclose(np.asarray(gm[1]), np.asarray(g2[1]),
+                                       atol=1e-10)
+
+
+def test_forward_only_identity_B():
+    model, params, X, y = setup("classification", M=4)
+    k = compute_kfac_factors(model, params, X, y, "classification",
+                             fisher_type="forward-only", N=4)
+    np.testing.assert_allclose(np.asarray(k.kfacs[0][0]), np.eye(H))
+
+
+def test_expand_reduce_2d_equal_B():
+    """For 2-d (no sequence dim) inputs expand and reduce coincide."""
+    model, params, X, y = setup("classification", M=4)
+    ke = compute_kfac_factors(model, params, X, y, "classification",
+                              kfac_approx="expand", N=4)
+    kr = compute_kfac_factors(model, params, X, y, "classification",
+                              kfac_approx="reduce", N=4)
+    for ge, gr in zip(ke.kfacs, kr.kfacs):
+        for fe, fr in zip(ge, gr):
+            np.testing.assert_allclose(np.asarray(fe), np.asarray(fr),
+                                       atol=1e-10)
+
+
+def test_kfac_differentiable_wrt_adjacency():
+    """The flagship property: d(sum of factors)/d(adj) flows through the
+    tap-based factor computation (reference needed curvlinops/kfac.py:637-661
+    fork hacks for this)."""
+    from laplace_gnn_tpu.models import STEGCN
+    key = jax.random.PRNGKey(0)
+    Xf = jax.random.normal(key, (8, D))
+    a = (jax.random.uniform(jax.random.PRNGKey(1), (8, 8)) < 0.4) * 1.0
+    adj = jnp.minimum(a + a.T, 1.0)
+    model = STEGCN(D, H, C, 2, Xf, adj)
+    params = model.init(jax.random.PRNGKey(2))
+    idx = jnp.arange(8)
+    y = jax.random.randint(jax.random.PRNGKey(3), (8,), 0, C)
+
+    def scalar_of_factors(p):
+        kron = compute_kfac_factors(model, p, idx, y, "classification", N=8)
+        return sum(jnp.sum(F) for g in kron.kfacs for F in g)
+
+    g = jax.grad(scalar_of_factors)(params)
+    assert np.abs(np.asarray(g["adj"])).sum() > 0
+
+
+def test_kfac_last_layer():
+    model, params, X, y = setup("classification", M=4)
+    k = compute_kfac_factors(model, params, X, y, "classification",
+                             last_layer=True, N=4)
+    assert len(k.kfacs) == 2                # bias + weight of last layer
+    assert k.kfacs[0][0].shape == (C, C)    # bias block
+    assert k.kfacs[1][0].shape == (C, C)
+    assert k.kfacs[1][1].shape == (H, H)
+
+
+def test_kfac_rejects_non_dense_posterior():
+    from laplace_gnn_tpu.models import GAT
+    key = jax.random.PRNGKey(0)
+    Xf = jax.random.normal(key, (6, D))
+    adj = jnp.ones((6, 6))
+    model = GAT(D, 4, C, 2, Xf, adj, heads=2, concat=False)
+    params = model.init(jax.random.PRNGKey(1))
+    with pytest.raises(ValueError, match="dense"):
+        compute_kfac_factors(model, params, jnp.arange(6),
+                             jnp.zeros(6, dtype=int), "classification", N=6)
