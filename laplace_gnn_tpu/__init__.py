@@ -7,4 +7,10 @@ matrix-free curvature from jvp/vjp closures, differentiable KFAC marginal
 likelihood, and shard_map-partitioned aggregation for multi-chip scale.
 """
 
+from .laplace import (DiagLaplace, DiagLLLaplace, DiagSubnetLaplace,
+                      FullLaplace, FullLLLaplace, FullSubnetLaplace,
+                      FunctionalLaplace, FunctionalLLLaplace, Kron,
+                      KronDecomposed, KronLaplace, KronLLLaplace, Laplace,
+                      LowRankLaplace, SubnetLaplace, marglik_training)
+
 __version__ = "0.1.0"

@@ -1,0 +1,271 @@
+"""Laplace flavors: dispatcher, fit, marglik, predictives, sampling,
+serialization (mirrors reference tests/test_laplace.py + test_baselaplace.py
+strategy)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from laplace_gnn_tpu import (DiagLaplace, DiagLLLaplace, FullLaplace,
+                             FullLLLaplace, FunctionalLaplace, KronLaplace,
+                             KronLLLaplace, Laplace, LowRankLaplace)
+from laplace_gnn_tpu.curvature import EFBackend, GGNBackend, HessianBackend
+from laplace_gnn_tpu.curvature.oracles import functorch_ggn
+from laplace_gnn_tpu.nn import MLP
+from laplace_gnn_tpu.utils.data import ArrayLoader
+
+M, D, H, C = 12, 3, 5, 2
+
+
+def setup(likelihood, seed=0, batch_size=None):
+    keys = jax.random.split(jax.random.PRNGKey(seed), 3)
+    model = MLP([D, H, C], act="tanh")
+    params = model.init(keys[0])
+    X = jax.random.normal(keys[1], (M, D))
+    if likelihood == "classification":
+        y = jax.random.randint(keys[2], (M,), 0, C)
+    else:
+        y = jax.random.normal(keys[2], (M, C))
+    loader = ArrayLoader(X, y, batch_size=batch_size or M)
+    return model, params, X, y, loader
+
+
+def test_dispatcher_all_keys():
+    model, params, X, y, loader = setup("classification")
+    cases = {
+        ("all", "full"): FullLaplace,
+        ("all", "kron"): KronLaplace,
+        ("all", "diag"): DiagLaplace,
+        ("all", "lowrank"): LowRankLaplace,
+        ("last_layer", "full"): FullLLLaplace,
+        ("last_layer", "kron"): KronLLLaplace,
+        ("last_layer", "diag"): DiagLLLaplace,
+    }
+    for (sow, hs), cls in cases.items():
+        la = Laplace(model, params, "classification",
+                     subset_of_weights=sow, hessian_structure=hs)
+        assert isinstance(la, cls), (sow, hs)
+    la = Laplace(model, params, "classification", subset_of_weights="all",
+                 hessian_structure="gp", n_subset=M)
+    assert isinstance(la, FunctionalLaplace)
+    with pytest.raises(ValueError):
+        Laplace(model, params, "classification",
+                subset_of_weights="subnetwork", hessian_structure="kron")
+
+
+@pytest.mark.parametrize("likelihood", ["classification", "regression"])
+def test_full_laplace_fit_marglik(likelihood):
+    model, params, X, y, loader = setup(likelihood)
+    la = FullLaplace(model, params, likelihood)
+    la.fit(loader)
+    assert la.n_data == M
+    assert la.n_outputs == C
+    # H equals backend-full on the whole data
+    _, H_ref = la.backend.full(X, y)
+    np.testing.assert_allclose(np.asarray(la.H), np.asarray(H_ref),
+                               atol=1e-10)
+    ml = la.log_marginal_likelihood()
+    assert np.isfinite(float(ml))
+    # differentiable w.r.t. prior precision
+    g = jax.grad(lambda pp: la._pure_log_marglik(pp, la.sigma_noise))(
+        jnp.asarray(1.0))
+    assert np.isfinite(float(g))
+    # decomposition identity: marglik = loglik - 0.5*(logdetratio + scatter)
+    np.testing.assert_allclose(
+        float(ml),
+        float(la.log_likelihood - 0.5 * (la.log_det_ratio + la.scatter)))
+
+
+def test_full_batched_fit_equals_single_batch():
+    model, params, X, y, _ = setup("classification")
+    la1 = FullLaplace(model, params, "classification")
+    la1.fit(ArrayLoader(X, y, batch_size=M))
+    la2 = FullLaplace(model, params, "classification")
+    la2.fit(ArrayLoader(X, y, batch_size=4))
+    np.testing.assert_allclose(np.asarray(la1.H), np.asarray(la2.H),
+                               atol=1e-9)
+    np.testing.assert_allclose(float(la1.loss), float(la2.loss), atol=1e-9)
+
+
+def test_kron_laplace_logdet_close_to_full_structure():
+    model, params, X, y, loader = setup("classification")
+    la = KronLaplace(model, params, "classification")
+    la.fit(loader)
+    ml = la.log_marginal_likelihood()
+    assert np.isfinite(float(ml))
+    # posterior precision dense reconstruction vs manual
+    P = la.posterior_precision
+    dense = np.asarray(P.to_matrix(exponent=1))
+    assert dense.shape == (la.n_params, la.n_params)
+    # logdet consistent with dense
+    np.testing.assert_allclose(float(P.logdet()),
+                               np.linalg.slogdet(dense)[1], atol=1e-6)
+    # marglik differentiable in layerwise prior
+    pp = jnp.ones(la.n_layers)
+    g = jax.grad(lambda p: la._pure_log_marglik(p, la.sigma_noise))(pp)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_kron_online_fit_accumulates():
+    model, params, X, y, _ = setup("classification")
+    la = KronLaplace(model, params, "classification")
+    la.fit(ArrayLoader(X, y))
+    kfacs_once = [np.asarray(F) for g in la.H_facs.kfacs for F in g]
+    la.fit(ArrayLoader(X, y), override=False)
+    assert la.n_data == 2 * M
+    kfacs_twice = [np.asarray(F) for g in la.H_facs.kfacs for F in g]
+    # same data twice: A-factors (normalized per N) stay equal, B doubles
+    np.testing.assert_allclose(kfacs_twice[0], 2 * kfacs_once[0], atol=1e-8)
+
+
+def test_diag_laplace_equals_full_diagonal():
+    model, params, X, y, loader = setup("classification")
+    full = FullLaplace(model, params, "classification")
+    full.fit(loader)
+    diag = DiagLaplace(model, params, "classification")
+    diag.fit(loader)
+    np.testing.assert_allclose(np.asarray(diag.H),
+                               np.diag(np.asarray(full.H)), atol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(diag.posterior_variance),
+        1 / np.diag(np.asarray(full.posterior_precision)), atol=1e-10)
+
+
+@pytest.mark.parametrize("flavor", [FullLaplace, KronLaplace, DiagLaplace])
+def test_glm_predictive_classification(flavor):
+    model, params, X, y, loader = setup("classification")
+    la = flavor(model, params, "classification")
+    la.fit(loader)
+    for link in ["probit", "mc", "bridge", "bridge_norm"]:
+        p = la(X, pred_type="glm", link_approx=link, n_samples=200)
+        assert p.shape == (M, C)
+        np.testing.assert_allclose(np.asarray(p.sum(-1)), np.ones(M),
+                                   atol=1e-6)
+        assert (np.asarray(p) >= 0).all()
+
+
+@pytest.mark.parametrize("flavor", [FullLaplace, KronLaplace, DiagLaplace])
+def test_glm_predictive_regression(flavor):
+    model, params, X, y, loader = setup("regression")
+    la = flavor(model, params, "regression")
+    la.fit(loader)
+    f_mu, f_var = la(X, pred_type="glm")
+    assert f_mu.shape == (M, C)
+    assert f_var.shape == (M, C, C)
+    assert (np.diagonal(np.asarray(f_var), axis1=-2, axis2=-1) >= 0).all()
+    # joint predictive
+    f_mu2, f_cov = la(X, pred_type="glm", joint=True)
+    assert f_cov.shape == (M * C, M * C)
+    # marginal variances agree with joint diagonal blocks
+    jd = np.asarray(f_cov).reshape(M, C, M, C)
+    for i in range(M):
+        np.testing.assert_allclose(np.asarray(f_var[i]), jd[i, :, i, :],
+                                   atol=1e-8)
+
+
+def test_nn_predictive():
+    model, params, X, y, loader = setup("classification")
+    la = DiagLaplace(model, params, "classification")
+    la.fit(loader)
+    p = la(X, pred_type="nn", link_approx="mc", n_samples=50)
+    assert p.shape == (M, C)
+    np.testing.assert_allclose(np.asarray(p.sum(-1)), np.ones(M), atol=1e-6)
+    with pytest.raises(ValueError):
+        la(X, pred_type="nn", link_approx="probit")
+
+
+@pytest.mark.parametrize("flavor", [FullLaplace, KronLaplace, DiagLaplace])
+def test_sample_statistics(flavor):
+    model, params, X, y, loader = setup("classification")
+    la = flavor(model, params, "classification")
+    la.fit(loader)
+    la.prior_precision = 100.0  # tight posterior
+    s = la.sample(5000, key=jax.random.PRNGKey(0))
+    assert s.shape == (5000, la.n_params)
+    np.testing.assert_allclose(np.asarray(s.mean(0)), np.asarray(la.mean),
+                               atol=0.05)
+
+
+def test_prior_precision_validation():
+    model, params, X, y, loader = setup("classification")
+    la = FullLaplace(model, params, "classification")
+    with pytest.raises(ValueError):
+        la.prior_precision = jnp.ones((2, 2))
+    with pytest.raises(ValueError):
+        la.prior_precision = jnp.ones(7)  # not 1, n_layers, or n_params
+    la.prior_precision = jnp.ones(la.n_layers)
+    kron = KronLaplace(model, params, "classification")
+    with pytest.raises(ValueError):
+        kron.prior_precision = jnp.ones(kron.n_params)
+
+
+def test_optimize_prior_precision_marglik():
+    model, params, X, y, loader = setup("classification")
+    la = DiagLaplace(model, params, "classification")
+    la.fit(loader)
+    ml_before = float(la.log_marginal_likelihood())
+    la.optimize_prior_precision(method="marglik", n_steps=50, lr=0.1)
+    ml_after = float(la.log_marginal_likelihood())
+    assert ml_after >= ml_before - 1e-6
+
+
+def test_optimize_prior_precision_gridsearch():
+    model, params, X, y, loader = setup("classification")
+    la = DiagLaplace(model, params, "classification")
+    la.fit(loader)
+    la.optimize_prior_precision(method="gridsearch", val_loader=loader,
+                                grid_size=10)
+    assert float(la.prior_precision[0]) > 0
+
+
+@pytest.mark.parametrize("flavor", [FullLaplace, KronLaplace, DiagLaplace])
+def test_serialization_roundtrip(flavor):
+    model, params, X, y, loader = setup("classification")
+    la = flavor(model, params, "classification")
+    la.fit(loader)
+    sd = la.state_dict()
+    la2 = flavor(model, params, "classification")
+    la2.load_state_dict(sd)
+    np.testing.assert_allclose(float(la2.log_marginal_likelihood()),
+                               float(la.log_marginal_likelihood()),
+                               atol=1e-10)
+    p1 = la(X, link_approx="probit")
+    p2 = la2(X, link_approx="probit")
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-8)
+    # wrong-class error
+    other = DiagLaplace if flavor is not DiagLaplace else FullLaplace
+    la3 = other(model, params, "classification")
+    with pytest.raises(ValueError):
+        la3.load_state_dict(sd)
+
+
+def test_lowrank_laplace():
+    model, params, X, y, loader = setup("classification")
+    la = LowRankLaplace(model, params, "classification", rank=8)
+    la.fit(loader)
+    ml = la.log_marginal_likelihood()
+    assert np.isfinite(float(ml))
+    p = la(X, link_approx="probit")
+    assert p.shape == (M, C)
+    # full-rank LowRank == FullLaplace (GGN) quantities
+    la_full = LowRankLaplace(model, params, "classification",
+                             rank=la.n_params)
+    la_full.fit(loader)
+    full = FullLaplace(model, params, "classification")
+    full.fit(loader)
+    np.testing.assert_allclose(float(la_full.log_det_posterior_precision),
+                               float(full.log_det_posterior_precision),
+                               rtol=1e-4)
+
+
+def test_backend_choices():
+    model, params, X, y, loader = setup("classification")
+    for backend in [GGNBackend, EFBackend, HessianBackend]:
+        la = FullLaplace(model, params, "classification", backend=backend)
+        la.fit(loader)
+        assert np.isfinite(float(la.log_marginal_likelihood()))
+    la = FullLaplace(model, params, "classification", backend=GGNBackend,
+                     backend_kwargs={"stochastic": True, "mc_samples": 4})
+    la.fit(loader)
+    assert np.isfinite(float(la.log_marginal_likelihood()))
