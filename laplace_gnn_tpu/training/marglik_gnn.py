@@ -1,0 +1,335 @@
+"""Graph-structure-learning marglik training (the flagship workload).
+
+TPU-native counterpart of reference ``gnn/marglik_training.py:42-353``
+(marglik_optimization): Adam on weights excluding 'adj' (reference :91-93),
+SGD(+momentum) on the adjacency (:102-104), burn-in, then every
+``marglik_frequency`` epochs ``n_hypersteps`` updates of the adjacency on
+the negative log marginal likelihood of a freshly fit KFAC Laplace
+(:194-224), with marglik- and valloss-based early stopping (PATIENCE=20,
+:279-303).
+
+TPU-first design: where the reference's hyperstep is fit-hooks + retained
+autograd graphs + backward, here the *entire hyperstep* — KFAC factor
+computation, eigendecomposition, marginal likelihood, gradient w.r.t. the
+adjacency — is one jitted pure function ``neg_marglik_and_grad(params)``.
+One compiled XLA program per hyperstep; factors never leave the device.
+"""
+
+from __future__ import annotations
+
+import copy
+import os
+import pickle
+import time
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..curvature.interface import GGNBackend
+from ..curvature.losses import cross_entropy_sum
+from ..graph.data import adj_to_edge_index
+from ..graph.homophily import avg_local_homophilies, global_homophily
+from ..laplace.dispatch import Laplace
+from ..utils.data import ArrayLoader
+from ..utils.pytree import path_mask
+
+PATIENCE = 20
+
+NO_ADJ_UPDATE_MODELS = ("gcn", "gat", "graphsage")
+ADJ_PARAM_FILTERS = {
+    # which params the adjacency optimizer updates, per model type
+    "lorastegcn": lambda p: p.startswith("adj_lora"),
+    "default": lambda p: p == "adj",
+}
+
+
+def make_neg_marglik_fn(model, likelihood: str, hessian_structure: str,
+                        subset_of_weights: str, N: int,
+                        prior_precision: float = 1.0,
+                        temperature: float = 1.0) -> Callable:
+    """Pure differentiable -log marglik of a freshly fit Laplace
+    approximation, as a function of the *full* parameter pytree (gradients
+    flow into params['adj'] through the KFAC factors)."""
+    H_factor = 1.0 / temperature
+
+    def fn(params, X, y):
+        backend = GGNBackend(model, params, likelihood,
+                             last_layer=(subset_of_weights == "last_layer"))
+        closure = {"kron": backend.kron, "diag": backend.diag,
+                   "full": backend.full}[hessian_structure]
+        loss, H = closure(X, y, N=N)
+        loglik = -H_factor * loss
+
+        n_params = backend.n_params
+        prior_diag = prior_precision * jnp.ones(n_params)
+        logdet_prior = jnp.sum(jnp.log(prior_diag))
+        theta = backend.mean_vector()
+        scatter = jnp.sum(theta ** 2 * prior_diag)
+
+        if hessian_structure == "kron":
+            post = H.decompose() * H_factor + jnp.asarray(prior_precision)
+            logdet_post = post.logdet()
+        elif hessian_structure == "diag":
+            logdet_post = jnp.sum(jnp.log(H_factor * H + prior_diag))
+        else:
+            logdet_post = jnp.linalg.slogdet(
+                H_factor * H + jnp.diag(prior_diag))[1]
+
+        marglik = loglik - 0.5 * (logdet_post - logdet_prior + scatter)
+        return -marglik
+
+    return fn
+
+
+def marglik_optimization(model, params,
+                         train_indices, train_labels,
+                         val_indices=None, val_labels=None,
+                         y=None,
+                         stop_criterion: str = "marglik",
+                         lr: float = 0.01,
+                         lr_adj: float = 0.1,
+                         weight_decay: float = 0.5,
+                         weight_decay_adj: float = 0.0,
+                         momentum_adj: float = 0.0,
+                         n_epochs: int = 100,
+                         n_hypersteps: int = 20,
+                         n_epochs_burnin: int = 40,
+                         n_hyper_stop: Optional[int] = None,
+                         marglik_frequency: int = 20,
+                         subset_of_weights: str = "all",
+                         hessian_structure: str = "kron",
+                         prior_precision: float = 1.0,
+                         grad_norm: bool = False,
+                         early_stop: bool = False,
+                         model_type: str = "stegcn",
+                         learned_graphs_dir: Optional[str] = None,
+                         verbose: bool = True,
+                         log_every: int = 20):
+    """Returns (results, params_dict, losses, val_losses, neg_margliks) where
+    results mirrors the reference's
+    {'marglik': {'params', 'epoch'}, 'valloss': {'params', 'epoch'}}."""
+    if stop_criterion == "valloss" and val_indices is None:
+        raise ValueError("Validation mask is required for val loss stopping "
+                         "criterion")
+    if "adj" not in params:
+        raise ValueError("Expected 'adj' in model parameters")
+    if learned_graphs_dir is not None:
+        os.makedirs(learned_graphs_dir, exist_ok=True)
+
+    train_indices = jnp.asarray(train_indices)
+    train_labels = jnp.asarray(train_labels)
+    if val_indices is not None:
+        val_indices = jnp.asarray(val_indices)
+        val_labels = jnp.asarray(val_labels)
+    y_np = np.asarray(y) if y is not None else None
+
+    no_adj_update = model_type in NO_ADJ_UPDATE_MODELS
+    n_hyper_stop = n_hyper_stop if n_hyper_stop is not None else n_epochs
+    N = int(train_labels.shape[0])
+
+    # --- optimizers: Adam on weights \ adj* ; SGD on adjacency params ------
+    adj_filter = ADJ_PARAM_FILTERS.get(model_type,
+                                       ADJ_PARAM_FILTERS["default"])
+    weight_mask = path_mask(params, lambda p: "adj" not in p)
+    adj_mask = path_mask(params, adj_filter)
+
+    def zero_masked_out(g, mask):
+        """optax.masked passes masked-out updates through unchanged, so the
+        raw gradients must be zeroed for parameters a given optimizer does
+        not own."""
+        return jax.tree_util.tree_map(
+            lambda gr, m: gr if m else jnp.zeros_like(gr), g, mask)
+
+    weight_opt = optax.masked(
+        optax.chain(optax.add_decayed_weights(weight_decay),
+                    optax.adam(lr)), weight_mask)
+    adj_opt = optax.masked(
+        optax.chain(optax.add_decayed_weights(weight_decay_adj),
+                    optax.sgd(lr_adj, momentum=momentum_adj or None)),
+        adj_mask)
+    weight_state = weight_opt.init(params)
+    adj_state = adj_opt.init(params)
+
+    # --- jitted steps -----------------------------------------------------
+    def ce_mean(f, yy):
+        return cross_entropy_sum(f, yy) / yy.shape[0]
+
+    @jax.jit
+    def train_step(params, opt_state, idx, yy):
+        def obj(p):
+            f = model.apply(p, idx)
+            return ce_mean(f, yy), f
+
+        (loss, f), g = jax.value_and_grad(obj, has_aux=True)(params)
+        g = zero_masked_out(g, weight_mask)
+        updates, opt_state = weight_opt.update(g, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        acc = jnp.mean(jnp.argmax(f, axis=1) == yy)
+        return new_params, opt_state, loss, acc
+
+    neg_marglik_fn = make_neg_marglik_fn(
+        model, "classification", hessian_structure, subset_of_weights, N,
+        prior_precision)
+
+    @jax.jit
+    def hyperstep(params, adj_state):
+        nm, g = jax.value_and_grad(neg_marglik_fn)(params, train_indices,
+                                                   train_labels)
+        if grad_norm:
+            gnorm = jnp.sqrt(jnp.sum(g["adj"] ** 2))
+            scale = jnp.minimum(1.0, 1.0 / jnp.maximum(gnorm, 1e-12))
+            g = dict(g, adj=g["adj"] * scale)
+        g = zero_masked_out(g, adj_mask)
+        updates, adj_state = adj_opt.update(g, adj_state, params)
+        return optax.apply_updates(params, updates), adj_state, nm
+
+    neg_marglik_eval = jax.jit(neg_marglik_fn)
+
+    @jax.jit
+    def val_metrics(params):
+        f = model.apply(params, val_indices)
+        return (ce_mean(f, val_labels),
+                jnp.mean(jnp.argmax(f, axis=1) == val_labels))
+
+    # --- analysis helpers (reference :137-149) -----------------------------
+    eval_indices = None
+    if y_np is not None:
+        all_idx = np.arange(len(y_np))
+        eval_indices = np.setdiff1d(all_idx, np.asarray(train_indices))
+
+    def print_graph_stats(params):
+        if not verbose or y_np is None:
+            return
+        _adj = np.asarray(model.full_adj(params))
+        gh, trh, evh = avg_local_homophilies(
+            _adj, np.asarray(train_indices), eval_indices, y_np)
+        print(f"Homophily global, local train, local eval:"
+              f"{gh:.3f}, {trh:.3f}, {evh:.3f}")
+        tr = np.asarray(train_indices)
+        print(f"Num edges: {_adj.sum()} "
+              f"(train {_adj[tr, :].sum()}, eval {_adj[eval_indices, :].sum()})")
+
+    print_graph_stats(params)
+
+    losses, val_losses, neg_margliks = [], [], []
+    best_neg_marglik, best_valloss = np.inf, np.inf
+    best_marglik_params, best_valloss_params = None, None
+    best_marglik_epoch = best_valloss_epoch = 0
+    marglik_patience = val_patience = 0
+    rng = jax.random.PRNGKey(0)
+
+    for epoch in range(1, n_epochs + 1):
+        rng, sub = jax.random.split(rng)
+        params, weight_state, loss, acc = train_step(params, weight_state,
+                                                     train_indices,
+                                                     train_labels)
+        losses.append(float(loss))
+
+        # --- adjacency hypersteps (reference :194-224) ---------------------
+        if (epoch < n_hyper_stop and not no_adj_update
+                and (epoch % marglik_frequency) == 0
+                and epoch >= n_epochs_burnin):
+            for _ in range(n_hypersteps):
+                params, adj_state, nm = hyperstep(params, adj_state)
+            if learned_graphs_dir is not None:
+                _adj = np.asarray(model.full_adj(params))
+                edge_index = adj_to_edge_index(_adj)
+                h = global_homophily(_adj, y_np) if y_np is not None else None
+                with open(os.path.join(learned_graphs_dir,
+                                       f"epoch_{epoch}.pkl"), "wb") as f:
+                    pickle.dump({"edge_index": edge_index,
+                                 "marglik": -float(nm),
+                                 "num_edges": float(_adj.sum()),
+                                 "homophily": h, "epoch": epoch}, f)
+                np.save(os.path.join(learned_graphs_dir, "latest_adj.npy"),
+                        _adj)
+            print_graph_stats(params)
+
+        # --- per-epoch marglik + valloss tracking (reference :261-303) ------
+        nm = float(neg_marglik_eval(params, train_indices, train_labels))
+        neg_margliks.append(nm)
+        if val_indices is not None:
+            vl, va = val_metrics(params)
+            vl, va = float(vl), float(va)
+            val_losses.append(vl)
+        else:
+            vl = va = np.nan
+
+        if ("ste" not in model_type) or epoch > n_epochs_burnin:
+            if not early_stop or marglik_patience < PATIENCE:
+                if nm < best_neg_marglik:
+                    best_neg_marglik = nm
+                    best_marglik_params = jax.tree_util.tree_map(
+                        lambda x: x, params)
+                    best_marglik_epoch = epoch
+                    marglik_patience = 0
+                else:
+                    marglik_patience += 1
+            if val_indices is not None and (not early_stop
+                                            or val_patience < PATIENCE):
+                if vl < best_valloss:
+                    best_valloss = vl
+                    best_valloss_params = jax.tree_util.tree_map(
+                        lambda x: x, params)
+                    best_valloss_epoch = epoch
+                    val_patience = 0
+                else:
+                    val_patience += 1
+            if early_stop and marglik_patience == PATIENCE:
+                if verbose:
+                    print("Early stopping on marginal likelihood. No more "
+                          "graph update.")
+                no_adj_update = True
+                marglik_patience += 1
+
+        if verbose and epoch % log_every == 0:
+            print(f"Epoch {epoch}: Loss={float(loss):.3f}, "
+                  f"Perf={float(acc):.3f}, Marglik={-nm:.3}, "
+                  f"Val Loss={vl:.3f}, Val Acc={va:.3f}")
+
+    results = {
+        "marglik": {"params": best_marglik_params,
+                    "epoch": best_marglik_epoch},
+        "valloss": {"params": best_valloss_params,
+                    "epoch": best_valloss_epoch},
+    }
+    return results, params, losses, val_losses, neg_margliks
+
+
+# ---------------------------------------------------------------------------
+# Evaluation (reference gnn/marglik_training.py:332-353)
+# ---------------------------------------------------------------------------
+
+def mean_eval(model, params, indices, labels):
+    """MAP loss/accuracy (reference mean_eval :332-339)."""
+    f = model.apply(params, jnp.asarray(indices))
+    labels = jnp.asarray(labels)
+    loss = float(cross_entropy_sum(f, labels) / labels.shape[0])
+    acc = float(jnp.mean(jnp.argmax(f, axis=1) == labels)) * 100
+    return loss, acc
+
+
+def mc_eval(la, indices, labels, pred_type: str = "nn", n_samples: int = 100,
+            diagonal_output: bool = False):
+    """Bayesian predictive loss/accuracy (reference mc_eval :342-353)."""
+    p = la(jnp.asarray(indices), pred_type=pred_type, link_approx="mc",
+           n_samples=n_samples, diagonal_output=diagonal_output)
+    labels = np.asarray(labels)
+    logp = np.log(np.clip(np.asarray(p), 1e-12, None))
+    loss = float(-np.mean(logp[np.arange(len(labels)), labels]))
+    acc = float(np.mean(np.argmax(np.asarray(p), axis=1) == labels)) * 100
+    return loss, acc
+
+
+def fit_laplace(model, params, train_indices, train_labels,
+                subset_of_weights: str = "all",
+                hessian_structure: str = "kron", **kwargs):
+    """Fresh Laplace fit on the training nodes (reference :197-201)."""
+    la = Laplace(model, params, "classification",
+                 subset_of_weights=subset_of_weights,
+                 hessian_structure=hessian_structure, **kwargs)
+    la.fit(ArrayLoader(jnp.asarray(train_indices), jnp.asarray(train_labels)))
+    return la
