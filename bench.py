@@ -1,0 +1,213 @@
+"""Benchmark: flagship marglik hyperstep + aggregation throughput.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Primary metric: wall-clock of one differentiable KFAC-marglik hyperstep
+(fit factors + log-marglik + gradient w.r.t. the adjacency) on a Cora-sized
+STE-GCN — the hot hyper loop of the reference (gnn/marglik_training.py:
+206-224). ``vs_baseline`` is the speedup over a torch-CPU implementation of
+the same math via retained autograd graphs (the reference's strategy; the
+reference itself cannot run here — its backpack/asdl deps are absent).
+
+Timing methodology: the axon TPU tunnel permanently degrades per-dispatch
+latency after the first device->host transfer, so every timed region runs K
+iterations inside ONE jitted lax.fori_loop (iterations chained through the
+adjacency so XLA cannot hoist the loop body), and nothing is fetched until
+all clocks have stopped. Reported per-iteration time is (t_2K - t_K) / K,
+which also cancels the single-dispatch overhead.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+N_NODES, N_FEAT, HIDDEN, N_CLASS = 2708, 1433, 64, 7  # Cora dimensions
+DENSITY = 10556 / (2708 * 2708)                        # Cora edge density
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_graph(rng):
+    X = rng.standard_normal((N_NODES, N_FEAT), dtype=np.float32)
+    adj = (rng.random((N_NODES, N_NODES)) < DENSITY).astype(np.float32)
+    adj = np.minimum(adj + adj.T, 1.0)
+    np.fill_diagonal(adj, 0.0)
+    y = rng.integers(0, N_CLASS, N_NODES)
+    return X, adj, y
+
+
+def _timed_loop(jitted, params, K):
+    """Run jitted(params, K), blocking; return wall seconds."""
+    import jax
+    import jax.numpy as jnp
+    t0 = time.perf_counter()
+    jax.block_until_ready(jitted(params, jnp.asarray(K)))
+    return time.perf_counter() - t0
+
+
+def bench_jax(X, adj, y, n_train=140, K=20):
+    import jax
+    # persistent compile cache: bench re-runs skip the ~2-5 min XLA compiles
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    import jax.numpy as jnp
+    from functools import partial
+
+    from laplace_gnn_tpu.models import STEGCN
+    from laplace_gnn_tpu.training.marglik_gnn import make_neg_marglik_fn
+
+    model = STEGCN(N_FEAT, HIDDEN, N_CLASS, 2, jnp.asarray(X),
+                   jnp.asarray(adj), dropout_p=0.0)
+    params = model.init(jax.random.PRNGKey(0))
+    idx = jnp.arange(n_train)
+    yy = jnp.asarray(y[:n_train])
+
+    # --- forward loop -------------------------------------------------------
+    @jax.jit
+    def fwd_loop(params, K):
+        def body(i, carry):
+            acc, adj_p = carry
+            p = dict(params, adj=adj_p)
+            f = model.apply(p, idx)
+            acc = acc + jnp.sum(f)
+            # chain: next adjacency genuinely depends on this output (1e-30
+            # perturbation — non-zero so XLA cannot fold the dependency away)
+            return acc, adj_p + 1e-30 * acc
+        acc, _ = jax.lax.fori_loop(0, K, body, (0.0, params["adj"]))
+        return acc
+
+    # --- hyperstep loop -----------------------------------------------------
+    neg_marglik = make_neg_marglik_fn(model, "classification", "kron",
+                                      "all", N=n_train)
+    vg = jax.value_and_grad(neg_marglik)
+
+    @jax.jit
+    def hyper_loop(params, K):
+        def body(i, carry):
+            acc, adj_p = carry
+            p = dict(params, adj=adj_p)
+            nm, g = vg(p, idx, yy)
+            return acc + nm, adj_p + 1e-30 * nm + 1e-30 * g["adj"]
+        acc, _ = jax.lax.fori_loop(0, K, body, (0.0, params["adj"]))
+        return acc
+
+    # warmups (compile; dynamic trip count -> one executable each), then
+    # timed runs — no host fetch until the end
+    KF = 500  # forward is ~0.07 ms; need a long loop for resolution
+    log("compiling fwd loop...")
+    _timed_loop(fwd_loop, params, 1)
+    log("timing fwd loop...")
+    t_fwd_K = _timed_loop(fwd_loop, params, KF)
+    t_fwd_2K = _timed_loop(fwd_loop, params, 4 * KF)
+    log("compiling hyper loop...")
+    _timed_loop(hyper_loop, params, 1)
+    log("timing hyper loop...")
+    t_hyp_K = _timed_loop(hyper_loop, params, K)
+    t_hyp_2K = _timed_loop(hyper_loop, params, 2 * K)
+
+    t_fwd = max((t_fwd_2K - t_fwd_K) / (3 * KF), 1e-9)
+    t_hyper = max((t_hyp_2K - t_hyp_K) / K, 1e-9)
+
+    # now safe to fetch for sanity reporting
+    nm_val = float(jax.jit(neg_marglik)(params, idx, yy))
+    n_edges = float(np.asarray(adj).sum()) + N_NODES
+    edges_per_s = 2 * n_edges / t_fwd
+    log(f"jax forward: {t_fwd * 1e3:.3f} ms "
+        f"({edges_per_s / 1e6:.1f}M edges/s effective)")
+    log(f"jax hyperstep: {t_hyper * 1e3:.3f} ms (neg_marglik={nm_val:.2f})")
+    assert np.isfinite(nm_val)
+    return t_hyper, t_fwd, edges_per_s
+
+
+def bench_torch_cpu(X, adj, y, n_train=140, repeats=1):
+    """Torch-CPU hyperstep with the reference's strategy: KFAC factors via
+    per-column backward passes with retained graphs, differentiable marglik,
+    backward into the adjacency."""
+    import torch
+
+    torch.set_num_threads(max(torch.get_num_threads(), 8))
+    X_t = torch.tensor(X)
+    y_t = torch.tensor(y[:n_train])
+    W0 = (torch.randn(HIDDEN, N_FEAT) * 0.05).requires_grad_()
+    b0 = torch.zeros(HIDDEN, requires_grad=True)
+    W1 = (torch.randn(N_CLASS, HIDDEN) * 0.05).requires_grad_()
+    b1 = torch.zeros(N_CLASS, requires_grad=True)
+    adj_p = torch.tensor(adj, requires_grad=True)
+
+    def hyperstep():
+        # STE binarize + self loops + sym-normalize (reference forward_adj)
+        hard = (adj_p > 0.5).float()
+        a = adj_p + (hard - adj_p).detach()      # straight-through
+        a = a * (1 - torch.eye(N_NODES)) + torch.eye(N_NODES)
+        d = a.sum(1).clamp(min=1e-12).pow(-0.5)
+        a_norm = d[:, None] * a * d[None, :]
+
+        s0 = X_t @ W0.T + b0                      # tap site 0
+        h = torch.relu(a_norm @ s0)
+        s1 = h @ W1.T + b1                        # tap site 1
+        f = (a_norm @ s1)[:n_train]
+
+        # KFAC factors (TYPE2): A = act cov / N, B = sum_c g_c^T g_c
+        p = torch.softmax(f, dim=1)
+        sp = p.sqrt()
+        S = torch.diag_embed(sp) - p.unsqueeze(2) * sp.unsqueeze(1)
+        A0 = X_t.T @ X_t / n_train
+        A1 = h.T @ h / n_train
+        B = [torch.zeros(s.shape[1], s.shape[1]) for s in (s0, s1)]
+        for c in range(N_CLASS):
+            g0, g1 = torch.autograd.grad(
+                (f * S[:, :, c]).sum(), (s0, s1), retain_graph=True,
+                create_graph=True)
+            B[0] = B[0] + g0.T @ g0
+            B[1] = B[1] + g1.T @ g1
+
+        loss = torch.nn.functional.cross_entropy(f, y_t, reduction="sum")
+        logdet = 0.0
+        for Bk, Ak in ((B[0], A0), (B[1], A1)):
+            lb = torch.linalg.eigvalsh(Bk).clamp(min=0)
+            la = torch.linalg.eigvalsh(Ak).clamp(min=0)
+            logdet = logdet + torch.log(torch.outer(lb, la) + 1.0).sum()
+            logdet = logdet + torch.log(lb + 1.0).sum()  # bias block
+        theta2 = (W0 ** 2).sum() + (b0 ** 2).sum() + (W1 ** 2).sum() \
+            + (b1 ** 2).sum()
+        neg_marglik = loss + 0.5 * (logdet + theta2)
+        grad_adj = torch.autograd.grad(neg_marglik, adj_p)[0]
+        return neg_marglik.detach(), grad_adj
+
+    hyperstep()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        nm, g = hyperstep()
+    t = (time.perf_counter() - t0) / repeats
+    log(f"torch-cpu hyperstep: {t * 1e3:.2f} ms "
+        f"(neg_marglik={float(nm):.2f}, |g_adj|={float(g.abs().sum()):.3f})")
+    return t
+
+
+def main():
+    rng = np.random.default_rng(0)
+    X, adj, y = make_graph(rng)
+    t_hyper, t_fwd, edges_per_s = bench_jax(X, adj, y)
+    try:
+        t_torch = bench_torch_cpu(X, adj, y)
+        vs_baseline = t_torch / t_hyper
+    except Exception as e:  # torch missing or OOM: report 1.0
+        log(f"torch baseline failed: {e}")
+        vs_baseline = 1.0
+    print(json.dumps({
+        "metric": "marglik_hyperstep_ms",
+        "value": round(t_hyper * 1e3, 3),
+        "unit": "ms",
+        "vs_baseline": round(vs_baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

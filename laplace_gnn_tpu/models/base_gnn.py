@@ -49,15 +49,20 @@ class BaseGNN:
                  symmetric: bool = False,
                  **kwargs):
         self.X = jnp.asarray(X)
-        init_adj = jnp.asarray(init_adj, dtype=self.X.dtype)
 
         self.update_adj = update_adj
         self.symmetric = symmetric
+        # Validate binariness host-side BEFORE any device round trip: a
+        # device->host fetch here would permanently degrade dispatch latency
+        # on tunneled TPU backends (see bench.py). Only host inputs are
+        # checked eagerly; device arrays are trusted.
+        if not isinstance(init_adj, jax.Array):
+            vals = np.asarray(init_adj)
+            if not np.all((vals == 0) | (vals == 1)):
+                raise ValueError("init_adj must be binary.")
+        init_adj = jnp.asarray(init_adj, dtype=self.X.dtype)
         if symmetric:  # treat as undirected (reference :66-70)
             init_adj = jnp.minimum(init_adj + init_adj.T, 1.0)
-        vals = np.asarray(init_adj)
-        if not np.all((vals == 0) | (vals == 1)):
-            raise ValueError("init_adj must be binary.")
         self.init_adj = init_adj
 
         self.in_channels = in_channels
@@ -91,6 +96,12 @@ class BaseGNN:
             self.convs.append(self.init_conv(in_ch, out_channels,
                                              name=f"convs.{len(self.convs)}",
                                              **kwargs))
+
+        # The first dense layer of a GCNConv stack consumes raw X, so its
+        # KFAC input covariance X^T X / N is constant — marglik hypersteps
+        # can cache its eigendecomposition (training/marglik_gnn.py).
+        from .layers import GCNConv as _GCNConv
+        self.first_tap_static = isinstance(self.convs[0], _GCNConv)
 
     # --- to be provided by subclasses -------------------------------------
     def init_conv(self, in_channels: int, out_channels: int, name: str, **kwargs):

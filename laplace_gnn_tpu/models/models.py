@@ -15,8 +15,8 @@ import jax
 import jax.numpy as jnp
 
 from ..nn.module import Linear, resolve_dtype
-from ..ops.adjacency import (binarize_ste, fill_diagonal, normalize_adj,
-                             sample_neigh_adj, train_adj_mask)
+from ..ops.adjacency import (binarize_ste, fill_diagonal, fill_diagonal_any,
+                             normalize_adj, sample_neigh_adj, train_adj_mask)
 from .base_gnn import BaseGNN
 from .layers import GATConv, GCNConv, GraphSAGEConv
 
@@ -29,7 +29,7 @@ class GCN(BaseGNN):
                  act: Union[str, Callable, None] = "relu",
                  act_kwargs: Optional[Dict[str, Any]] = None,
                  symmetric: bool = False, **kwargs):
-        init_adj = fill_diagonal(jnp.asarray(init_adj), 1.0)  # self-loops
+        init_adj = fill_diagonal_any(init_adj, 1.0)  # self-loops
         super().__init__(in_channels, hidden_channels, out_channels,
                          num_layers, X, init_adj, dropout_p, act, act_kwargs,
                          update_adj=False, symmetric=symmetric, **kwargs)
@@ -49,7 +49,7 @@ class GraphSAGE(BaseGNN):
                  X, init_adj, num_sampled_nodes_per_hop: Optional[int] = None,
                  dropout_p=0.5, act="relu", act_kwargs=None,
                  symmetric: bool = False, **kwargs):
-        init_adj = fill_diagonal(jnp.asarray(init_adj), 0.0)  # no self-loops
+        init_adj = fill_diagonal_any(init_adj, 0.0)  # no self-loops
         super().__init__(in_channels, hidden_channels, out_channels,
                          num_layers, X, init_adj, dropout_p, act, act_kwargs,
                          update_adj=False, symmetric=symmetric, **kwargs)
@@ -74,7 +74,7 @@ class STEGCN(BaseGNN):
                  threshold: float = 0.5, train_masked_update: bool = False,
                  train_nodes=None, symmetric: bool = False,
                  sign_grad: bool = False, **kwargs):
-        init_adj = fill_diagonal(jnp.asarray(init_adj), 1.0)
+        init_adj = fill_diagonal_any(init_adj, 1.0)
         super().__init__(in_channels, hidden_channels, out_channels,
                          num_layers, X, init_adj, dropout_p, act, act_kwargs,
                          update_adj=True, symmetric=symmetric, **kwargs)
@@ -119,7 +119,7 @@ class STEGraphSAGE(BaseGNN):
                  threshold: float = 0.5, train_masked_update: bool = False,
                  train_nodes=None, symmetric: bool = False,
                  sign_grad: bool = False, **kwargs):
-        init_adj = fill_diagonal(jnp.asarray(init_adj), 0.0)
+        init_adj = fill_diagonal_any(init_adj, 0.0)
         super().__init__(in_channels, hidden_channels, out_channels,
                          num_layers, X, init_adj, dropout_p, act, act_kwargs,
                          update_adj=True, symmetric=symmetric, **kwargs)
@@ -202,7 +202,7 @@ class GAT(BaseGNN):
     def __init__(self, in_channels, hidden_channels, out_channels, num_layers,
                  X, init_adj, dropout_p=0.5, act="relu", act_kwargs=None,
                  symmetric: bool = False, **kwargs):
-        init_adj = fill_diagonal(jnp.asarray(init_adj), 1.0)
+        init_adj = fill_diagonal_any(init_adj, 1.0)
         super().__init__(in_channels, hidden_channels, out_channels,
                          num_layers, X, init_adj, dropout_p, act, act_kwargs,
                          update_adj=False, symmetric=symmetric, **kwargs)

@@ -60,6 +60,19 @@ def fill_diagonal(adj: jnp.ndarray, value: float) -> jnp.ndarray:
     return adj * (1.0 - eye) + value * eye
 
 
+def fill_diagonal_any(adj, value: float):
+    """fill_diagonal that keeps host (numpy) inputs on the host — model
+    constructors use this so eager device work (and any later validation
+    fetch) is avoided when building models from numpy data."""
+    import jax
+    import numpy as np
+    if isinstance(adj, jax.Array):
+        return fill_diagonal(adj, value)
+    out = np.array(adj, copy=True)
+    np.fill_diagonal(out, value)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Straight-through estimators
 # ---------------------------------------------------------------------------

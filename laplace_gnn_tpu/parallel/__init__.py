@@ -1,0 +1,4 @@
+from .mesh import graph_sharding, make_mesh, replicated, shard_gnn_params
+from .partition import (HaloPlan, Partition, build_halo_plan,
+                        degree_balanced_partition, partition_efficiency)
+from .sharded import make_sharded_train_step, sharded_aggregate

@@ -49,11 +49,66 @@ ADJ_PARAM_FILTERS = {
 def make_neg_marglik_fn(model, likelihood: str, hessian_structure: str,
                         subset_of_weights: str, N: int,
                         prior_precision: float = 1.0,
-                        temperature: float = 1.0) -> Callable:
+                        temperature: float = 1.0,
+                        cache_static_factors: bool = True) -> Callable:
     """Pure differentiable -log marglik of a freshly fit Laplace
     approximation, as a function of the *full* parameter pytree (gradients
-    flow into params['adj'] through the KFAC factors)."""
+    flow into params['adj'] through the KFAC factors).
+
+    TPU optimization (``cache_static_factors``): for GCN-style models the
+    first dense layer's KFAC input covariance is A0 = X^T X / N — constant in
+    every parameter. Its eigendecomposition (the single most expensive op in
+    the hyperstep: eigh of a d_in x d_in matrix, d_in = 1433 on Cora) is
+    computed once here and only its eigenvalues enter the traced marglik.
+    Measured on TPU v5e this cuts the hyperstep from ~61 ms to the cost of
+    the small-factor eigh (see bench.py)."""
     H_factor = 1.0 / temperature
+
+    # Precompute the constant input-covariance eigenvalues where valid: the
+    # first tap of a BaseGNN whose first conv consumes raw X (GCNConv).
+    static_A_eigvals: dict = {}
+    if (cache_static_factors and hessian_structure == "kron"
+            and getattr(model, "first_tap_static", False)
+            and subset_of_weights == "all"):
+        Xfull = model.X
+        A0 = (Xfull.T @ Xfull) / N
+        lam, _ = jnp.linalg.eigh(A0)
+        site0 = model.tap_sites(None)[0]["name"]
+        static_A_eigvals[site0] = jnp.clip(lam, min=0.0)
+
+    def _kron_logdet(kron, group_sites, prior_prec):
+        """log det (H_factor * (B (x) A) + delta I) per block, using cached
+        eigenvalues for constant A factors. Matches
+        KronDecomposed.logdet (laplace/utils/matrix.py:371-394) with the
+        Kron * H_factor eigenvalue-scaling convention."""
+        sqrt_f = jnp.sqrt(H_factor)
+        out = 0.0
+        for group, site_name in zip(kron.kfacs, group_sites):
+            if len(group) == 1:
+                lb = jnp.clip(jnp.linalg.eigvalsh(group[0]), min=0.0)
+                out = out + jnp.sum(jnp.log(H_factor * lb + prior_prec))
+            else:
+                B, A = group
+                lb = jnp.clip(jnp.linalg.eigvalsh(B), min=0.0)
+                if site_name in static_A_eigvals:
+                    la = static_A_eigvals[site_name]
+                else:
+                    la = jnp.clip(jnp.linalg.eigvalsh(A), min=0.0)
+                out = out + jnp.sum(jnp.log(
+                    jnp.outer(sqrt_f * lb, sqrt_f * la) + prior_prec))
+        return out
+
+    def _group_sites(backend):
+        """Owning tap-site name per Kron block (posterior-leaf order)."""
+        from ..curvature.kfac import _owning_site, _posterior_sites
+        from ..utils.pytree import named_leaves
+        sites, _ = _posterior_sites(model, backend.params, backend.exclude,
+                                    backend.last_layer)
+        by_prefix = {tuple(s["param_path"]): s for s in sites}
+        return [
+            _owning_site(name, by_prefix, sites)["name"]
+            for name, leaf in named_leaves(backend.w) if leaf is not None
+        ]
 
     def fn(params, X, y):
         backend = GGNBackend(model, params, likelihood,
@@ -70,8 +125,8 @@ def make_neg_marglik_fn(model, likelihood: str, hessian_structure: str,
         scatter = jnp.sum(theta ** 2 * prior_diag)
 
         if hessian_structure == "kron":
-            post = H.decompose() * H_factor + jnp.asarray(prior_precision)
-            logdet_post = post.logdet()
+            logdet_post = _kron_logdet(H, _group_sites(backend),
+                                       jnp.asarray(prior_precision))
         elif hessian_structure == "diag":
             logdet_post = jnp.sum(jnp.log(H_factor * H + prior_diag))
         else:
