@@ -1,0 +1,134 @@
+"""Training loops: GNN marglik optimization, library marglik_training,
+experiment driver, homophily analysis, datasets."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import laplace_gnn_tpu.graph as G
+from laplace_gnn_tpu.laplace import marglik_training
+from laplace_gnn_tpu.models import GCN, STEGCN
+from laplace_gnn_tpu.nn import MLP
+from laplace_gnn_tpu.training import (fit_laplace, make_neg_marglik_fn,
+                                      marglik_optimization, mc_eval,
+                                      mean_eval)
+from laplace_gnn_tpu.utils.data import ArrayLoader
+
+
+@pytest.fixture(scope="module")
+def karate():
+    return G.load_data("karate", n_rand_splits=1)
+
+
+def build_model(d, cls=STEGCN, **kw):
+    model = cls(d.num_features, 8, d.num_classes, 2, jnp.asarray(d.x),
+                d.adjacency(), dropout_p=0.0, **kw)
+    return model, model.init(jax.random.PRNGKey(0))
+
+
+def test_marglik_optimization_learns_structure(karate):
+    d = karate
+    tr, va, te = d.split(0)
+    model, params = build_model(d)
+    results, pf, losses, vls, nms = marglik_optimization(
+        model, params, tr, d.y[tr], va, d.y[va], y=d.y,
+        lr=0.03, lr_adj=0.2, weight_decay=5e-4, n_epochs=30,
+        n_hypersteps=3, n_epochs_burnin=5, marglik_frequency=5,
+        model_type="stegcn", verbose=False)
+    assert losses[-1] < losses[0]
+    assert len(nms) == 30
+    assert np.isfinite(nms).all()
+    # adjacency actually moved
+    assert float(jnp.abs(pf["adj"] - model.init_adj).sum()) > 0
+    # both stop criteria captured
+    assert results["marglik"]["params"] is not None
+    assert results["valloss"]["params"] is not None
+    l, a = mean_eval(model, results["valloss"]["params"], te, d.y[te])
+    assert np.isfinite(l) and 0 <= a <= 100
+
+
+def test_marglik_optimization_gcn_no_adj_update(karate):
+    d = karate
+    tr, va, te = d.split(0)
+    model, params = build_model(d, cls=GCN)
+    results, pf, *_ = marglik_optimization(
+        model, params, tr, d.y[tr], va, d.y[va], y=d.y,
+        lr=0.05, n_epochs=15, n_epochs_burnin=2, marglik_frequency=5,
+        model_type="gcn", verbose=False)
+    np.testing.assert_allclose(np.asarray(pf["adj"]),
+                               np.asarray(model.init_adj))
+
+
+def test_neg_marglik_structures_agree_on_direction(karate):
+    """kron/diag/full margliks are different approximations but must all be
+    finite and differentiable w.r.t. the adjacency."""
+    d = karate
+    tr, _, _ = d.split(0)
+    model, params = build_model(d)
+    idx, yy = jnp.asarray(tr), jnp.asarray(d.y[tr])
+    for structure in ("kron", "diag", "full"):
+        f = make_neg_marglik_fn(model, "classification", structure, "all",
+                                N=len(tr))
+        val, g = jax.value_and_grad(f)(params, idx, yy)
+        assert np.isfinite(float(val)), structure
+        assert np.isfinite(np.asarray(g["adj"])).all(), structure
+        assert np.abs(np.asarray(g["adj"])).sum() > 0, structure
+
+
+def test_fit_laplace_and_bayes_eval(karate):
+    d = karate
+    tr, va, te = d.split(0)
+    model, params = build_model(d)
+    la = fit_laplace(model, params, tr, d.y[tr])
+    assert np.isfinite(float(la.log_marginal_likelihood()))
+    loss, acc = mc_eval(la, te, d.y[te], n_samples=20)
+    assert np.isfinite(loss)
+
+
+def test_library_marglik_training():
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+    M, D, C = 30, 3, 2
+    X = jax.random.normal(keys[0], (M, D))
+    y = jax.random.randint(keys[1], (M,), 0, C)
+    model = MLP([D, 8, C], act="tanh")
+    params = model.init(keys[2])
+    loader = ArrayLoader(X, y, batch_size=M)
+    la, final_params, margliks, losses = marglik_training(
+        model, params, loader, likelihood="classification",
+        hessian_structure="kron", n_epochs=20, n_hypersteps=5,
+        marglik_frequency=5, optimizer_kwargs={"lr": 0.05}, lr_hyp=0.1)
+    assert len(margliks) == 4
+    assert np.isfinite(margliks).all()
+    assert losses[-1] < losses[0]
+    # hyperparameters moved off their init
+    assert not np.allclose(np.asarray(la.prior_precision), 1.0)
+    p = la(X, link_approx="probit")
+    assert p.shape == (M, C)
+
+
+def test_experiment_driver_smoke(tmp_path):
+    from laplace_gnn_tpu.training.experiment import main
+    out = main(["--dataset", "karate", "--model_type", "gcn",
+                "--n_data_rand_splits", "1", "--n_epochs", "5",
+                "--overwrite_config", "true", "--lr", "0.05",
+                "--weight_decay", "5e-4", "--hidden_channels", "8",
+                "--dropout_p", "0.0", "--res", "false",
+                "--n_epochs_burnin", "2",
+                "--base_out_dir", str(tmp_path)])
+    assert out["summary"]["valloss"] is not None
+    assert (tmp_path / "karate" / "stats.pkl").exists()
+
+
+def test_learned_graphs_saved(tmp_path, karate):
+    d = karate
+    tr, va, _ = d.split(0)
+    model, params = build_model(d)
+    marglik_optimization(
+        model, params, tr, d.y[tr], va, d.y[va], y=d.y,
+        lr=0.03, lr_adj=0.2, n_epochs=6, n_hypersteps=2,
+        n_epochs_burnin=2, marglik_frequency=2, model_type="stegcn",
+        learned_graphs_dir=str(tmp_path / "graphs"), verbose=False)
+    files = list((tmp_path / "graphs").iterdir())
+    assert any(f.name.startswith("epoch_") for f in files)
+    assert (tmp_path / "graphs" / "latest_adj.npy").exists()
