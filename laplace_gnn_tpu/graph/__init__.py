@@ -7,3 +7,4 @@ from .homophily import (avg_local_homophilies, avg_receptive_field_degree,
                         edge_diff, global_homophily, interaction_bound,
                         label_informativeness, local_homophily,
                         test_receptive_field)
+from .container import SparseGraph, add_ell_format, sparse_from_edge_index

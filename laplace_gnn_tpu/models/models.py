@@ -17,6 +17,19 @@ import jax.numpy as jnp
 from ..nn.module import Linear, resolve_dtype
 from ..ops.adjacency import (binarize_ste, fill_diagonal, fill_diagonal_any,
                              normalize_adj, sample_neigh_adj, train_adj_mask)
+from ..ops.pallas_spmm import norm_aggregate, ste_norm_aggregate
+
+
+class FusedAdjOp:
+    """Adjacency stand-in whose ``spmm`` runs the fused Pallas
+    transform+aggregate kernel (ops/pallas_spmm.py); consumed by
+    ops.spmm.aggregate."""
+
+    def __init__(self, fn):
+        self._fn = fn
+
+    def spmm(self, x):
+        return self._fn(x)
 from .base_gnn import BaseGNN
 from .layers import GATConv, GCNConv, GraphSAGEConv
 
@@ -28,13 +41,16 @@ class GCN(BaseGNN):
                  X, init_adj, dropout_p=0.5,
                  act: Union[str, Callable, None] = "relu",
                  act_kwargs: Optional[Dict[str, Any]] = None,
-                 symmetric: bool = False, **kwargs):
+                 symmetric: bool = False, fused: bool = False, **kwargs):
         init_adj = fill_diagonal_any(init_adj, 1.0)  # self-loops
         super().__init__(in_channels, hidden_channels, out_channels,
                          num_layers, X, init_adj, dropout_p, act, act_kwargs,
                          update_adj=False, symmetric=symmetric, **kwargs)
+        self.fused = fused
 
     def forward_adj(self, params, rng=None):
+        if self.fused:
+            return FusedAdjOp(lambda s: norm_aggregate(params["adj"], s))
         return normalize_adj(params["adj"])
 
     def init_conv(self, in_channels, out_channels, name, **kwargs):
@@ -73,11 +89,12 @@ class STEGCN(BaseGNN):
                  X, init_adj, dropout_p=0.5, act="relu", act_kwargs=None,
                  threshold: float = 0.5, train_masked_update: bool = False,
                  train_nodes=None, symmetric: bool = False,
-                 sign_grad: bool = False, **kwargs):
+                 sign_grad: bool = False, fused: bool = False, **kwargs):
         init_adj = fill_diagonal_any(init_adj, 1.0)
         super().__init__(in_channels, hidden_channels, out_channels,
                          num_layers, X, init_adj, dropout_p, act, act_kwargs,
                          update_adj=True, symmetric=symmetric, **kwargs)
+        self.fused = fused
         self.threshold = threshold
         self.sign_grad = sign_grad
         self.train_masked_update = train_masked_update
@@ -96,6 +113,10 @@ class STEGCN(BaseGNN):
         return (params["adj"] > self.threshold).astype(params["adj"].dtype)
 
     def forward_adj(self, params, rng=None):
+        if self.fused:
+            return FusedAdjOp(lambda s: ste_norm_aggregate(
+                params["adj"], s, self.threshold, self.symmetric,
+                self.sign_grad, self.grad_adj_mask))
         adj = params["adj"]
         if self.symmetric:
             adj = (adj + adj.T) / 2

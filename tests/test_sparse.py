@@ -1,0 +1,153 @@
+"""Sparse graph container + SparseGCN: parity with the dense path, Laplace
+compatibility, segment/ell format agreement."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import laplace_gnn_tpu.graph as G
+from laplace_gnn_tpu.graph.container import (SparseGraph, add_ell_format,
+                                             sparse_from_edge_index)
+from laplace_gnn_tpu.models import GCN
+from laplace_gnn_tpu.models.sparse_gnn import SparseGCN
+from laplace_gnn_tpu.ops import fill_diagonal, normalize_adj
+from laplace_gnn_tpu.utils.data import ArrayLoader
+
+
+@pytest.fixture(scope="module")
+def karate():
+    return G.load_data("karate", n_rand_splits=1)
+
+
+def test_sparse_spmm_matches_dense(karate):
+    d = karate
+    g = sparse_from_edge_index(d.edge_index, d.num_nodes, normalize="sym")
+    x = jax.random.normal(jax.random.PRNGKey(0), (d.num_nodes, 5))
+    out_sparse = g.spmm(x)
+    # dense reference path: normalize_adj(adj + I) @ x
+    dense = jnp.asarray(fill_diagonal(jnp.asarray(d.adjacency(np.float64)),
+                                      1.0))
+    out_dense = normalize_adj(dense) @ x
+    np.testing.assert_allclose(np.asarray(out_sparse), np.asarray(out_dense),
+                               atol=1e-9)
+
+
+def test_ell_matches_segment(karate):
+    d = karate
+    g = sparse_from_edge_index(d.edge_index, d.num_nodes, normalize="sym")
+    g_ell = add_ell_format(g)
+    x = jax.random.normal(jax.random.PRNGKey(1), (d.num_nodes, 7))
+    np.testing.assert_allclose(np.asarray(g.spmm(x)),
+                               np.asarray(g_ell.spmm(x)), atol=1e-9)
+
+
+def test_row_normalization_mean_agg(karate):
+    d = karate
+    g = sparse_from_edge_index(d.edge_index, d.num_nodes, normalize="row",
+                               add_self_loops=False)
+    x = jax.random.normal(jax.random.PRNGKey(2), (d.num_nodes, 4))
+    adj = jnp.asarray(d.adjacency(np.float64))
+    row_sum = jnp.maximum(adj.sum(1, keepdims=True), 1.0)
+    np.testing.assert_allclose(np.asarray(g.spmm(x)),
+                               np.asarray((adj / row_sum) @ x), atol=1e-9)
+
+
+def test_to_dense_roundtrip(karate):
+    d = karate
+    g = sparse_from_edge_index(d.edge_index, d.num_nodes, normalize=None,
+                               add_self_loops=True)
+    dense = np.asarray(g.to_dense())
+    expected = np.asarray(fill_diagonal(jnp.asarray(d.adjacency(np.float64)),
+                                        1.0))
+    np.testing.assert_allclose(dense, expected)
+
+
+def test_sparse_gcn_matches_dense_gcn(karate):
+    d = karate
+    g = sparse_from_edge_index(d.edge_index, d.num_nodes, normalize="sym")
+    dense_model = GCN(d.num_features, 8, d.num_classes, 2,
+                      jnp.asarray(d.x, jnp.float64), d.adjacency(np.float64),
+                      dropout_p=0.0)
+    sparse_model = SparseGCN(d.num_features, 8, d.num_classes, 2,
+                             jnp.asarray(d.x, jnp.float64), g, dropout_p=0.0)
+    params = dense_model.init(jax.random.PRNGKey(0))
+    sparse_params = {"convs": params["convs"]}
+    out_d = dense_model.apply(params, jnp.arange(10))
+    out_s = sparse_model.apply(sparse_params, jnp.arange(10))
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_d),
+                               atol=1e-9)
+
+
+def test_sparse_gcn_laplace_end_to_end(karate):
+    """Diag + Kron Laplace and the marglik function work without any 'adj'
+    parameter in the pytree."""
+    from laplace_gnn_tpu import DiagLaplace, KronLaplace
+    from laplace_gnn_tpu.training import make_neg_marglik_fn
+
+    d = karate
+    tr, va, te = d.split(0)
+    g = sparse_from_edge_index(d.edge_index, d.num_nodes, normalize="sym")
+    model = SparseGCN(d.num_features, 8, d.num_classes, 2,
+                      jnp.asarray(d.x), g, dropout_p=0.0)
+    params = model.init(jax.random.PRNGKey(0))
+    loader = ArrayLoader(jnp.asarray(tr), jnp.asarray(d.y[tr]))
+
+    for flavor in (DiagLaplace, KronLaplace):
+        la = flavor(model, params, "classification")
+        la.fit(loader)
+        assert np.isfinite(float(la.log_marginal_likelihood()))
+        p = la(jnp.asarray(te), link_approx="probit")
+        np.testing.assert_allclose(np.asarray(p.sum(-1)),
+                                   np.ones(len(te)), atol=1e-6)
+
+    f = make_neg_marglik_fn(model, "classification", "kron", "all",
+                            N=len(tr))
+    val = f(params, jnp.asarray(tr), jnp.asarray(d.y[tr]))
+    assert np.isfinite(float(val))
+    # weights receive marglik gradients
+    grads = jax.grad(f)(params, jnp.asarray(tr), jnp.asarray(d.y[tr]))
+    gsum = sum(float(jnp.abs(l).sum())
+               for l in jax.tree_util.tree_leaves(grads))
+    assert gsum > 0
+
+
+def test_sparse_gcn_trains(karate):
+    d = karate
+    tr, va, te = d.split(0)
+    g = sparse_from_edge_index(d.edge_index, d.num_nodes, normalize="sym")
+    model = SparseGCN(d.num_features, 16, d.num_classes, 2,
+                      jnp.asarray(d.x), g, dropout_p=0.0)
+    params = model.init(jax.random.PRNGKey(0))
+    y = jnp.asarray(d.y)
+
+    @jax.jit
+    def step(p):
+        def obj(p):
+            f = model.apply(p, jnp.asarray(tr))
+            logp = jax.nn.log_softmax(f)
+            return -jnp.mean(logp[jnp.arange(len(tr)), y[jnp.asarray(tr)]])
+
+        loss, grad = jax.value_and_grad(obj)(p)
+        return jax.tree_util.tree_map(lambda a, b: a - 0.5 * b, p, grad), loss
+
+    losses = []
+    for _ in range(100):
+        params, l = step(params)
+        losses.append(float(l))
+    assert losses[-1] < losses[0] * 0.8
+    f = model.apply(params, jnp.asarray(te))
+    acc = float(jnp.mean(jnp.argmax(f, -1) == y[jnp.asarray(te)]))
+    assert acc > 0.3
+
+
+def test_sbm_scale_sparse():
+    """A graph too large to keep dense in tests still aggregates."""
+    d = G.sbm_dataset(n_nodes=5000, n_classes=5, d_features=16,
+                      p_in=0.004, p_out=0.0004)
+    g = sparse_from_edge_index(d.edge_index, d.num_nodes, normalize="sym",
+                               fmt="segment")
+    x = jnp.asarray(d.x)
+    out = g.spmm(x)
+    assert out.shape == (5000, 16)
+    assert np.isfinite(np.asarray(out)).all()
