@@ -1,4 +1,10 @@
+from .activation_hessian import ActivationHessianOperator
 from .base import LinearOperator, PyTreeOperator
+from .estimators import (hutchinson_diag, hutchinson_squared_fro,
+                         hutchinson_trace, hutchpp_trace)
+from .inverse import (CGInverseOperator, KFACInverseOperator,
+                      NeumannInverseOperator)
+from .spectrum import lanczos_eigh, lanczos_spectrum, lanczos_tridiag
 from .interface import (BACKEND_REGISTRY, CurvatureBackend, EFBackend,
                         GGNBackend, HessianBackend)
 from .kfac import compute_kfac_factors
