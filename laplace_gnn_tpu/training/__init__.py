@@ -1,2 +1,4 @@
-from .marglik_gnn import (fit_laplace, marglik_optimization, mc_eval,
-                          mean_eval, make_neg_marglik_fn)
+from .marglik_gnn import (fit_laplace, make_neg_marglik_fn,
+                          marglik_optimization, marglik_optimization_scan,
+                          mc_eval, mean_eval)
+from .evaluate import evaluate_map, evaluate_predictive, validate

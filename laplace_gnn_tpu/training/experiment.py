@@ -26,6 +26,7 @@ from ..graph.datasets import load_data
 from ..graph.homophily import (avg_local_homophilies,
                                avg_receptive_field_degree, global_homophily)
 from ..models.models import MODEL_REGISTRY
+from .evaluate import evaluate_map, evaluate_predictive
 from .marglik_gnn import (fit_laplace, marglik_optimization, mc_eval,
                           mean_eval)
 
@@ -291,6 +292,17 @@ def run_experiment(args_dict: dict, verbose: bool = True) -> dict:
                     hh = global_homophily(out_adj, data.y)
                     mean_val = mean_eval(model, bp, va, data.y[va])
                     mean_test = mean_eval(model, bp, te, data.y[te])
+                    q_map = evaluate_map(model, bp, te, data.y[te])
+                    q_bayes = evaluate_predictive(la, te, data.y[te],
+                                                  link_approx="probit")
+                    add_stat(crit, "test nll", split_idx, q_map["nll"])
+                    add_stat(crit, "test ece", split_idx, q_map["ece"])
+                    add_stat(crit, "bayes test acc", split_idx,
+                             q_bayes["acc"] * 100)
+                    add_stat(crit, "bayes test nll", split_idx,
+                             q_bayes["nll"])
+                    add_stat(crit, "bayes test ece", split_idx,
+                             q_bayes["ece"])
                     add_stat(crit, "marglik", split_idx, marglik)
                     add_stat(crit, "mean val loss", split_idx, mean_val[0])
                     add_stat(crit, "mean val acc", split_idx, mean_val[1])

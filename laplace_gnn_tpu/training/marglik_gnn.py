@@ -388,3 +388,163 @@ def fit_laplace(model, params, train_indices, train_labels,
                  hessian_structure=hessian_structure, **kwargs)
     la.fit(ArrayLoader(jnp.asarray(train_indices), jnp.asarray(train_labels)))
     return la
+
+
+def marglik_optimization_scan(model, params,
+                              train_indices, train_labels,
+                              val_indices, val_labels,
+                              lr: float = 0.01,
+                              lr_adj: float = 0.1,
+                              weight_decay: float = 0.5,
+                              weight_decay_adj: float = 0.0,
+                              momentum_adj: float = 0.0,
+                              n_epochs: int = 100,
+                              n_hypersteps: int = 20,
+                              n_epochs_burnin: int = 40,
+                              n_hyper_stop: Optional[int] = None,
+                              marglik_frequency: int = 20,
+                              subset_of_weights: str = "all",
+                              hessian_structure: str = "kron",
+                              prior_precision: float = 1.0,
+                              grad_norm: bool = False,
+                              model_type: str = "stegcn"):
+    """TPU-throughput variant of :func:`marglik_optimization`: the ENTIRE
+    training run — every epoch, every hyperstep, best-model tracking for
+    both stop criteria — executes inside one jitted ``lax.fori_loop``.
+    Nothing crosses the device boundary until training finishes (on
+    tunneled TPU backends a single device->host fetch permanently degrades
+    dispatch latency ~300x; see bench.py).
+
+    Semantics match the eager loop with ``early_stop=False`` (the
+    reference's default); patience-based stopping needs host control flow
+    and lives in the eager variant. Returns
+    (results, final_params, losses, val_losses, neg_margliks) with traces
+    as numpy arrays.
+    """
+    train_indices = jnp.asarray(train_indices)
+    train_labels = jnp.asarray(train_labels)
+    val_indices = jnp.asarray(val_indices)
+    val_labels = jnp.asarray(val_labels)
+    N = int(train_labels.shape[0])
+    no_adj_update = model_type in NO_ADJ_UPDATE_MODELS
+    n_hyper_stop = n_hyper_stop if n_hyper_stop is not None else n_epochs
+    is_ste = "ste" in model_type
+
+    adj_filter = ADJ_PARAM_FILTERS.get(model_type,
+                                       ADJ_PARAM_FILTERS["default"])
+    weight_mask = path_mask(params, lambda p: "adj" not in p)
+    adj_mask = path_mask(params, adj_filter)
+
+    def zero_masked_out(g, mask):
+        return jax.tree_util.tree_map(
+            lambda gr, m: gr if m else jnp.zeros_like(gr), g, mask)
+
+    weight_opt = optax.masked(
+        optax.chain(optax.add_decayed_weights(weight_decay),
+                    optax.adam(lr)), weight_mask)
+    adj_opt = optax.masked(
+        optax.chain(optax.add_decayed_weights(weight_decay_adj),
+                    optax.sgd(lr_adj, momentum=momentum_adj or None)),
+        adj_mask)
+
+    def ce_mean(f, yy):
+        return cross_entropy_sum(f, yy) / yy.shape[0]
+
+    neg_marglik_fn = make_neg_marglik_fn(
+        model, "classification", hessian_structure, subset_of_weights, N,
+        prior_precision)
+
+    def train_step(params, wstate):
+        def obj(p):
+            return ce_mean(model.apply(p, train_indices), train_labels)
+
+        loss, g = jax.value_and_grad(obj)(params)
+        g = zero_masked_out(g, weight_mask)
+        updates, wstate = weight_opt.update(g, wstate, params)
+        return optax.apply_updates(params, updates), wstate, loss
+
+    def hyper_phase(params, astate):
+        def one(_, carry):
+            params, astate = carry
+            g = jax.grad(neg_marglik_fn)(params, train_indices, train_labels)
+            if grad_norm:
+                gn = jnp.sqrt(jnp.sum(g["adj"] ** 2))
+                scale = jnp.minimum(1.0, 1.0 / jnp.maximum(gn, 1e-12))
+                g = dict(g, adj=g["adj"] * scale)
+            g = zero_masked_out(g, adj_mask)
+            updates, astate = adj_opt.update(g, astate, params)
+            return optax.apply_updates(params, updates), astate
+
+        return jax.lax.fori_loop(0, n_hypersteps, one, (params, astate))
+
+    @jax.jit
+    def run(params):
+        wstate = weight_opt.init(params)
+        astate = adj_opt.init(params)
+        traces = {
+            "loss": jnp.zeros(n_epochs),
+            "val_loss": jnp.zeros(n_epochs),
+            "neg_marglik": jnp.zeros(n_epochs),
+        }
+        best = {
+            "nm": jnp.inf, "nm_epoch": jnp.asarray(0),
+            "nm_params": params,
+            "vl": jnp.inf, "vl_epoch": jnp.asarray(0),
+            "vl_params": params,
+        }
+
+        def epoch_body(i, carry):
+            params, wstate, astate, traces, best = carry
+            epoch = i + 1
+            params, wstate, loss = train_step(params, wstate)
+
+            if not no_adj_update:
+                do_hyper = ((epoch < n_hyper_stop)
+                            & (epoch % marglik_frequency == 0)
+                            & (epoch >= n_epochs_burnin))
+                params, astate = jax.lax.cond(
+                    do_hyper, lambda pa: hyper_phase(*pa),
+                    lambda pa: pa, (params, astate))
+
+            nm = neg_marglik_fn(params, train_indices, train_labels)
+            vf = model.apply(params, val_indices)
+            vl = ce_mean(vf, val_labels)
+
+            traces = {
+                "loss": traces["loss"].at[i].set(loss),
+                "val_loss": traces["val_loss"].at[i].set(vl),
+                "neg_marglik": traces["neg_marglik"].at[i].set(nm),
+            }
+
+            track = True if not is_ste else (epoch > n_epochs_burnin)
+            upd_m = jnp.logical_and(track, nm < best["nm"])
+            upd_v = jnp.logical_and(track, vl < best["vl"])
+            sel = jax.tree_util.tree_map
+            best = {
+                "nm": jnp.where(upd_m, nm, best["nm"]),
+                "nm_epoch": jnp.where(upd_m, epoch, best["nm_epoch"]),
+                "nm_params": sel(lambda new, old: jnp.where(upd_m, new, old),
+                                 params, best["nm_params"]),
+                "vl": jnp.where(upd_v, vl, best["vl"]),
+                "vl_epoch": jnp.where(upd_v, epoch, best["vl_epoch"]),
+                "vl_params": sel(lambda new, old: jnp.where(upd_v, new, old),
+                                 params, best["vl_params"]),
+            }
+            return params, wstate, astate, traces, best
+
+        params, wstate, astate, traces, best = jax.lax.fori_loop(
+            0, n_epochs, epoch_body, (params, wstate, astate, traces, best))
+        return params, traces, best
+
+    params_final, traces, best = run(params)
+    jax.block_until_ready(params_final)
+
+    results = {
+        "marglik": {"params": best["nm_params"],
+                    "epoch": int(best["nm_epoch"])},
+        "valloss": {"params": best["vl_params"],
+                    "epoch": int(best["vl_epoch"])},
+    }
+    return (results, params_final, np.asarray(traces["loss"]),
+            np.asarray(traces["val_loss"]),
+            np.asarray(traces["neg_marglik"]))

@@ -132,3 +132,46 @@ def test_learned_graphs_saved(tmp_path, karate):
     files = list((tmp_path / "graphs").iterdir())
     assert any(f.name.startswith("epoch_") for f in files)
     assert (tmp_path / "graphs" / "latest_adj.npy").exists()
+
+
+def test_marglik_grad_stable_with_degenerate_factors():
+    """SURVEY.md 'hard parts': eigh gradients blow up on degenerate
+    eigenvalues. The hyperstep differentiates eigvalsh (values only), whose
+    VJP is well-defined under degeneracy — verify no NaNs on a graph with
+    many identical rows (rank-deficient, repeated-eigenvalue factors)."""
+    key = jax.random.PRNGKey(0)
+    n, d, h, c = 16, 4, 6, 3
+    X = jnp.tile(jax.random.normal(key, (2, d)), (8, 1))  # rank-2 features
+    adj = jnp.ones((n, n)) - jnp.eye(n)                   # complete graph
+    model = STEGCN(d, h, c, 2, X, adj, dropout_p=0.0)
+    params = model.init(jax.random.PRNGKey(1))
+    y = jax.random.randint(jax.random.PRNGKey(2), (n,), 0, c)
+    for structure in ("kron", "diag"):
+        f = make_neg_marglik_fn(model, "classification", structure, "all",
+                                N=n)
+        val, g = jax.value_and_grad(f)(params, jnp.arange(n), y)
+        assert np.isfinite(float(val)), structure
+        for leaf in jax.tree_util.tree_leaves(g):
+            assert np.isfinite(np.asarray(leaf)).all(), structure
+
+
+def test_scan_loop_matches_eager(karate):
+    """The on-device scan training loop must produce the same trajectory as
+    the eager loop (early_stop=False semantics)."""
+    from laplace_gnn_tpu.training import marglik_optimization_scan
+    d = karate
+    tr, va, te = d.split(0)
+    kwargs = dict(lr=0.03, lr_adj=0.2, weight_decay=5e-4, n_epochs=12,
+                  n_hypersteps=3, n_epochs_burnin=4, marglik_frequency=4,
+                  model_type="stegcn")
+    model, params = build_model(d)
+    r1, p1, l1, v1, n1 = marglik_optimization(
+        model, params, tr, d.y[tr], va, d.y[va], verbose=False, **kwargs)
+    r2, p2, l2, v2, n2 = marglik_optimization_scan(
+        model, params, tr, d.y[tr], va, d.y[va], **kwargs)
+    np.testing.assert_allclose(np.asarray(l1), l2, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(n1), n2, rtol=1e-5, atol=1e-5)
+    assert r1["marglik"]["epoch"] == r2["marglik"]["epoch"]
+    assert r1["valloss"]["epoch"] == r2["valloss"]["epoch"]
+    np.testing.assert_allclose(np.asarray(p1["adj"]),
+                               np.asarray(p2["adj"]), atol=1e-6)
