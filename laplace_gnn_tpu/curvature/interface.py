@@ -161,15 +161,17 @@ class CurvatureBackend:
               mc_samples: int = 1, kfac_approx: str = "expand", seed: int = 0):
         """Shared KFAC path (laplace/curvature/curvlinops.py:77-108):
         compute factors on this batch, rescale A by M/N, multiply by factor."""
-        kron = compute_kfac_factors(
+        kron, out = compute_kfac_factors(
             self.model, self.params, X, y,
             likelihood=self.likelihood,
             fisher_type=fisher_type or self._kron_fisher_type,
             mc_samples=mc_samples, kfac_approx=kfac_approx,
             exclude=self.exclude, last_layer=self.last_layer,
-            N=N, seed=seed)
+            N=N, seed=seed, return_output=True)
         kron = kron * self.factor
-        loss = self.loss(X, y)
+        # reuse the factor-computation forward for the loss (one full-graph
+        # forward total instead of three)
+        loss = self.factor * self.lossfunc(out, y)
         return loss, kron
 
 

@@ -69,10 +69,13 @@ def compute_kfac_factors(model, params, X, y, likelihood: str,
                          fisher_type: str = "type-2", mc_samples: int = 1,
                          kfac_approx: str = "expand",
                          exclude=DEFAULT_EXCLUDE, last_layer: bool = False,
-                         N: Optional[int] = None, seed: int = 0) -> Kron:
+                         N: Optional[int] = None, seed: int = 0,
+                         return_output: bool = False):
     """Compute KFAC factors for one batch (X, y); A normalized by ``N``
     (total dataset size — the M/N rescale of laplace/curvature/
-    curvlinops.py:46-53 pre-applied)."""
+    curvlinops.py:46-53 pre-applied). With ``return_output=True`` also
+    returns the model output of the single forward pass (callers reuse it
+    for the loss instead of running another full-graph forward)."""
     if fisher_type not in FISHER_TYPES:
         raise ValueError(f"fisher_type must be one of {FISHER_TYPES}")
     if kfac_approx not in KFAC_APPROX:
@@ -91,26 +94,36 @@ def compute_kfac_factors(model, params, X, y, likelihood: str,
     if N is None:
         N = y.shape[0]
 
-    # -- one forward with taps to learn shapes and collect activations -----
-    probe = TapCollector()
-    out0 = model.apply(params, X, taps=probe)
-    shapes = {name: s.shape for name, a, s in probe.records
-              if name in site_names}
-    acts = {name: a for name, a, s in probe.records if name in site_names}
+    # -- shapes via abstract evaluation (no FLOPs), activations from the
+    # single real forward below --------------------------------------------
+    def probe_fn():
+        taps = TapCollector()
+        out = model.apply(params, X, taps=taps)
+        return out, {name: s for name, a, s in taps.records
+                     if name in site_names}
 
-    # -- vjp w.r.t. the injected pre-activation perturbations --------------
-    eps0 = {name: jnp.zeros(shapes[name], out0.dtype) for name in site_names}
+    out_shape, s_shapes = jax.eval_shape(probe_fn)
+    eps0 = {name: jnp.zeros(s.shape, out_shape.dtype)
+            for name, s in s_shapes.items()}
 
     def f_of_eps(eps):
         taps = TapCollector(eps)
-        return model.apply(merge_split(w, frozen), X, taps=taps)
+        out = model.apply(merge_split(w, frozen), X, taps=taps)
+        acts = {name: a for name, a, s in taps.records
+                if name in site_names}
+        return out, acts
 
-    out, pullback = jax.vjp(f_of_eps, eps0)
+    (out, acts), pullback = jax.vjp(f_of_eps, eps0, has_aux=False)
+    # vjp over a tuple output: build cotangent helpers that zero the acts
+    zero_acts = jax.tree_util.tree_map(jnp.zeros_like, acts)
+
+    def pullback_out(cot):
+        return pullback((cot, zero_acts))
 
     def accumulate_B(cotangents):
         """sum over cotangent 'columns' of per-site g^T g."""
         def one(cot):
-            gs = pullback(cot)[0]
+            gs = pullback_out(cot)[0]
             return {
                 name: _cov(g, kfac_approx, reduce_op="sum")
                 for name, g in gs.items()
@@ -141,7 +154,7 @@ def compute_kfac_factors(model, params, X, y, likelihood: str,
         cot = jax.grad(lambda f: lossfunc(f, y))(out)
         B = accumulate_B(cot[None])
     else:  # forward-only (FOOF, curvlinops/kfac.py:669-675): B = I
-        B = {name: jnp.eye(shapes[name][-1], dtype=out0.dtype)
+        B = {name: jnp.eye(s_shapes[name].shape[-1], dtype=out.dtype)
              for name in site_names}
 
     # -- input covariances A -----------------------------------------------
@@ -170,7 +183,10 @@ def compute_kfac_factors(model, params, X, y, likelihood: str,
             kfacs.append([B[name]])
         else:                                    # weight (out, in)
             kfacs.append([B[name], A[name]])
-    return Kron(kfacs)
+    kron = Kron(kfacs)
+    if return_output:
+        return kron, out
+    return kron
 
 
 def _cov(g: jnp.ndarray, kfac_approx: str, reduce_op: str = "sum"):
