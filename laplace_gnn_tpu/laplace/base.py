@@ -428,6 +428,27 @@ class ParametricLaplace(BaseLaplace):
     def sample(self, n_samples: int = 100, key=None) -> jnp.ndarray:
         raise NotImplementedError
 
+    def predictive_samples(self, x, pred_type: str = PredType.GLM.value,
+                           n_samples: int = 100,
+                           diagonal_output: bool = False, key=None):
+        """Samples from the posterior predictive on ``x``
+        (reference laplace/baselaplace.py:1074-1121): (n_samples, B, C);
+        softmax-transformed for classification."""
+        key = key if key is not None else self.next_key()
+        if pred_type not in (PredType.GLM.value, PredType.NN.value):
+            raise ValueError("Only glm and nn supported as prediction "
+                             "types.")
+        if pred_type == PredType.GLM.value:
+            f_mu, f_var = self._glm_predictive_distribution(x)
+            if diagonal_output:
+                f_var = jnp.diagonal(f_var, axis1=-2, axis2=-1)
+            from ..ops.linalg import normal_samples
+            fs = normal_samples(key, f_mu, f_var, n_samples)
+            if self.likelihood == Likelihood.CLASSIFICATION.value:
+                fs = jax.nn.softmax(fs, axis=-1)
+            return fs
+        return self._nn_predictive_samples(x, n_samples, key=key)
+
     # -- serialization ------------------------------------------------------
     def state_dict(self) -> dict:
         self._check_H_init()

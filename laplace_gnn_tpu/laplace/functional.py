@@ -226,6 +226,22 @@ class FunctionalLaplace(BaseLaplace):
         return glm_classification_predictive(
             key, f_mu, f_var, link_approx, n_samples, diagonal_output)
 
+    def predictive_samples(self, x, pred_type: str = PredType.GP.value,
+                           n_samples: int = 100,
+                           diagonal_output: bool = False, key=None):
+        """(reference :2375-2414)"""
+        if pred_type != PredType.GP.value:
+            raise ValueError("Only gp supported as prediction type.")
+        key = key if key is not None else self.next_key()
+        f_mu, f_var = self._glm_predictive_distribution(x)
+        if diagonal_output:
+            f_var = jnp.diagonal(f_var, axis1=-2, axis2=-1)
+        from ..ops.linalg import normal_samples
+        fs = normal_samples(key, f_mu, f_var, n_samples)
+        if self.likelihood == Likelihood.CLASSIFICATION.value:
+            fs = jax.nn.softmax(fs, axis=-1)
+        return fs
+
     # -- marglik -----------------------------------------------------------
     @property
     def log_det_ratio(self) -> jnp.ndarray:

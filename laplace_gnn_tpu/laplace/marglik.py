@@ -69,10 +69,13 @@ def marglik_training(model, params, train_loader,
 
     opt_kwargs = dict(optimizer_kwargs or {})
     lr = opt_kwargs.pop("lr", 1e-3)
+    # scheduler: an optax schedule (callable step -> lr) replaces the
+    # reference's torch lr_scheduler (laplace/marglik_training.py:241-249)
+    lr_or_schedule = scheduler if callable(scheduler) else lr
     if optimizer.lower() == "adam":
-        opt = optax.adam(lr, **opt_kwargs)
+        opt = optax.adam(lr_or_schedule, **opt_kwargs)
     elif optimizer.lower() == "sgd":
-        opt = optax.sgd(lr, **opt_kwargs)
+        opt = optax.sgd(lr_or_schedule, **opt_kwargs)
     else:
         raise ValueError(f"Optimizer {optimizer} not supported.")
     opt_state = opt.init(w0)
@@ -126,8 +129,6 @@ def marglik_training(model, params, train_loader,
                                          log_sigma)
             epoch_loss += float(l)
         losses.append(epoch_loss)
-        if scheduler is not None:
-            lr = scheduler(epoch, lr)
 
         if epoch < n_epochs_burnin or (epoch % marglik_frequency) != 0:
             continue

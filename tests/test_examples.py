@@ -1,0 +1,58 @@
+"""Example scripts stay runnable (in-process, under the CPU conftest)."""
+
+import runpy
+import sys
+
+import pytest
+
+
+def run_example(name):
+    runpy.run_path(f"examples/{name}", run_name="__main__")
+
+
+def test_laplace_quickstart(capsys):
+    run_example("01_laplace_quickstart.py")
+    out = capsys.readouterr().out
+    assert "marglik after tuning" in out
+    assert "should be larger" in out
+
+
+def test_graph_structure_learning(capsys):
+    run_example("02_graph_structure_learning.py")
+    out = capsys.readouterr().out
+    assert "learned graph" in out
+    assert "Bayes test metrics" in out
+
+
+def test_calibration(capsys):
+    run_example("03_calibration.py")
+    out = capsys.readouterr().out
+    assert "Laplace probit" in out
+
+
+def test_predictive_samples():
+    """Public predictive_samples API (reference baselaplace :1074-1121)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from laplace_gnn_tpu import DiagLaplace, FunctionalLaplace
+    from laplace_gnn_tpu.nn import MLP
+    from laplace_gnn_tpu.utils.data import ArrayLoader
+
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+    X = jax.random.normal(keys[0], (10, 3))
+    y = jax.random.randint(keys[1], (10,), 0, 2)
+    model = MLP([3, 4, 2], act="tanh")
+    params = model.init(keys[2])
+    la = DiagLaplace(model, params, "classification")
+    la.fit(ArrayLoader(X, y))
+    s = la.predictive_samples(X, pred_type="glm", n_samples=13)
+    assert s.shape == (13, 10, 2)
+    np.testing.assert_allclose(np.asarray(s.sum(-1)), 1.0, atol=1e-6)
+    s2 = la.predictive_samples(X, pred_type="nn", n_samples=7)
+    assert s2.shape == (7, 10, 2)
+
+    gp = FunctionalLaplace(model, params, "classification", n_subset=10)
+    gp.fit(ArrayLoader(X, y))
+    s3 = gp.predictive_samples(X, n_samples=5)
+    assert s3.shape == (5, 10, 2)
