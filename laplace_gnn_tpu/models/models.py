@@ -17,7 +17,8 @@ import jax.numpy as jnp
 from ..nn.module import Linear, resolve_dtype
 from ..ops.adjacency import (binarize_ste, fill_diagonal, fill_diagonal_any,
                              normalize_adj, sample_neigh_adj, train_adj_mask)
-from ..ops.pallas_spmm import norm_aggregate, ste_norm_aggregate
+from ..ops.pallas_spmm import (StaticNormAdjOp, norm_aggregate,
+                               ste_norm_aggregate)
 
 
 class FusedAdjOp:
@@ -46,9 +47,17 @@ class GCN(BaseGNN):
         super().__init__(in_channels, hidden_channels, out_channels,
                          num_layers, X, init_adj, dropout_p, act, act_kwargs,
                          update_adj=False, symmetric=symmetric, **kwargs)
+        # fused=False: composed XLA ops; True: fused Pallas kernel on the
+        # live params["adj"]; "int8": adjacency packed once at construction
+        # (4x less HBM traffic; valid because GCN never updates it — edits
+        # to params["adj"] are ignored in this mode).
         self.fused = fused
+        self._static_op = (StaticNormAdjOp(self.init_adj)
+                           if fused == "int8" else None)
 
     def forward_adj(self, params, rng=None):
+        if self.fused == "int8":
+            return self._static_op
         if self.fused:
             return FusedAdjOp(lambda s: norm_aggregate(params["adj"], s))
         return normalize_adj(params["adj"])

@@ -235,3 +235,35 @@ def _norm_bwd(res, g):
 
 
 norm_aggregate.defvjp(_norm_fwd, _norm_bwd)
+
+
+# ---------------------------------------------------------------------------
+# int8-packed static adjacency (fixed-graph GCN fast path)
+# ---------------------------------------------------------------------------
+
+class StaticNormAdjOp:
+    """Frozen-graph aggregation with the binary adjacency packed as int8.
+
+    For non-structure-learning models (GCN/GAT: ``update_adj=False``) the
+    adjacency never changes, so it can be stored at 1 byte/entry — a 4x HBM
+    reduction on the dominant read of the aggregation. XLA cannot do this
+    (a cast materializes a full copy per call); the Pallas core reads int8
+    tiles and upcasts in-register. Normalization is pre-folded into the
+    degree vector exactly as ``normalize_adj`` (D^-1/2 A^T D^-1/2).
+    """
+
+    def __init__(self, adj):
+        adj = jnp.asarray(adj)
+        r = jnp.sum(adj, axis=1)
+        self.d = jnp.where(r > 0, jax.lax.rsqrt(jnp.maximum(r, 1e-38)),
+                           0.0).astype(jnp.float32)
+        self.adj_i8 = adj.astype(jnp.int8)
+        self.n = adj.shape[0]
+
+    def spmm(self, s: jnp.ndarray) -> jnp.ndarray:
+        t = self.d[:, None] * s
+        if _use_pallas():
+            v = _core(self.adj_i8, t, binarize=False)
+        else:
+            v = self.adj_i8.astype(t.dtype).T @ t
+        return self.d[:, None] * v

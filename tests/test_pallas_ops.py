@@ -137,3 +137,28 @@ def test_pallas_matmul_cpu_interpret():
         out = pallas_matmul.matmul(a, b, bm=32, bn=128, bk=128)
     np.testing.assert_allclose(np.asarray(out), np.asarray(a @ b),
                                atol=1e-5)
+
+
+def test_static_int8_adjacency_matches_plain():
+    from laplace_gnn_tpu.ops.pallas_spmm import StaticNormAdjOp
+    key = jax.random.PRNGKey(0)
+    adj = fill_diagonal(
+        (jax.random.uniform(key, (N, N)) > 0.6).astype(jnp.float64), 1.0)
+    s = jax.random.normal(jax.random.PRNGKey(1), (N, D))
+    op = StaticNormAdjOp(adj)
+    np.testing.assert_allclose(np.asarray(op.spmm(s)),
+                               np.asarray(normalize_adj(adj) @ s),
+                               atol=1e-6)
+    assert op.adj_i8.dtype == jnp.int8
+
+
+def test_gcn_int8_mode_matches_plain():
+    adjr = jax.random.uniform(jax.random.PRNGKey(2), (N, N))
+    adj_bin = jnp.minimum((adjr > 0.6) + (adjr > 0.6).T, 1).astype(jnp.float64)
+    X = jax.random.normal(jax.random.PRNGKey(3), (N, 6))
+    m_plain = GCN(6, 8, 3, 2, X, adj_bin, dropout_p=0.0)
+    m_int8 = GCN(6, 8, 3, 2, X, adj_bin, dropout_p=0.0, fused="int8")
+    params = m_plain.init(jax.random.PRNGKey(1))
+    np.testing.assert_allclose(
+        np.asarray(m_int8.apply(params, jnp.arange(N))),
+        np.asarray(m_plain.apply(params, jnp.arange(N))), atol=1e-6)
