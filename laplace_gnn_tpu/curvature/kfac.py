@@ -181,7 +181,9 @@ def compute_kfac_factors(model, params, X, y, likelihood: str,
         name = site["name"]
         if leaf.ndim == 1:                       # bias
             kfacs.append([B[name]])
-        else:                                    # weight (out, in)
+        else:                                    # weight (out, in) or conv
+            # weight (out, in*kh*kw): row-major flatten of the torch layout
+            # matches vec indexing of B (x) A (see nn/module.py Conv2d)
             kfacs.append([B[name], A[name]])
     kron = Kron(kfacs)
     if return_output:

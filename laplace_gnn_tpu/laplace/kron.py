@@ -61,8 +61,10 @@ class Kron:
             if leaf.ndim == 1:
                 p = leaf.shape[0]
                 kfacs.append([jnp.zeros((p, p), dt)])
-            elif leaf.ndim == 2:
-                o, i = leaf.shape
+            elif leaf.ndim >= 2:
+                # (out, in) for Linear; (out, in, kh, kw) for Conv2d where
+                # the A factor covers the flattened in*kh*kw patch dimension
+                o, i = leaf.shape[0], int(np.prod(leaf.shape[1:]))
                 kfacs.append([jnp.zeros((o, o), dt), jnp.zeros((i, i), dt)])
             else:
                 raise ValueError("Invalid parameter shape for Kron.")

@@ -123,6 +123,72 @@ class Linear:
         return _tap(taps, self.name, x, s)
 
 
+class Conv2d:
+    """2-D convolution, torch ``nn.Conv2d``-compatible init and weight layout
+    ``(out_ch, in_ch, kh, kw)``, NCHW input.
+
+    Implemented as im2col: patches are extracted with
+    ``lax.conv_general_dilated_patches`` (feature order (c, kh, kw), matching
+    the row-major flattening of the torch weight) and the conv becomes
+    ``patches @ W_flat.T`` — a dense matmul that lands on the MXU. The KFAC
+    tap therefore records exactly the (patch, pre-activation) pair the
+    reference's conv hooks extract via einconv (curvlinops/kfac.py:839-851,
+    curvlinops/kfac_utils.py:144-244), with the spatial axis as the
+    weight-sharing 'expand/reduce' middle dimension.
+    """
+
+    def __init__(self, in_channels: int, out_channels: int, kernel_size,
+                 stride=1, padding=0, bias: bool = True, name: str = "conv"):
+        self.in_channels = in_channels
+        self.out_channels = out_channels
+        ks = (kernel_size, kernel_size) if isinstance(kernel_size, int) \
+            else tuple(kernel_size)
+        self.kernel_size = ks
+        self.stride = (stride, stride) if isinstance(stride, int) \
+            else tuple(stride)
+        self.padding = (padding, padding) if isinstance(padding, int) \
+            else tuple(padding)
+        self.use_bias = bias
+        self.name = name
+
+    def init(self, key, dtype=None) -> dict:
+        # torch nn.Conv2d default: kaiming_uniform_(a=sqrt(5)) =>
+        # U(-1/sqrt(fan_in), 1/sqrt(fan_in)), fan_in = in_ch*kh*kw
+        dtype = resolve_dtype(dtype)
+        wkey, bkey = jax.random.split(key)
+        kh, kw = self.kernel_size
+        fan_in = self.in_channels * kh * kw
+        bound = 1.0 / math.sqrt(fan_in)
+        params = {
+            "weight": jax.random.uniform(
+                wkey, (self.out_channels, self.in_channels, kh, kw), dtype,
+                -bound, bound)
+        }
+        if self.use_bias:
+            params["bias"] = jax.random.uniform(
+                bkey, (self.out_channels,), dtype, -bound, bound)
+        return params
+
+    def apply(self, params: dict, x: jnp.ndarray,
+              taps: Optional[TapCollector] = None) -> jnp.ndarray:
+        B, _, H, W = x.shape
+        kh, kw = self.kernel_size
+        sh, sw = self.stride
+        ph, pw = self.padding
+        # (B, C*kh*kw, H', W'), feature order (c, kh, kw)
+        patches = jax.lax.conv_general_dilated_patches(
+            x, filter_shape=(kh, kw), window_strides=(sh, sw),
+            padding=[(ph, ph), (pw, pw)])
+        Ho, Wo = patches.shape[2], patches.shape[3]
+        a = jnp.moveaxis(patches.reshape(B, -1, Ho * Wo), 1, 2)  # (B, L, ckk)
+        w_flat = params["weight"].reshape(self.out_channels, -1)
+        s = a @ w_flat.T                                         # (B, L, out)
+        if self.use_bias:
+            s = s + params["bias"]
+        s = _tap(taps, self.name, a, s)
+        return jnp.moveaxis(s, 2, 1).reshape(B, self.out_channels, Ho, Wo)
+
+
 class LayerNorm:
     def __init__(self, dim: int, eps: float = 1e-5, name: str = "norm"):
         self.dim = dim
@@ -255,6 +321,64 @@ class MLP:
 
     def last_layer_path(self, params: dict) -> tuple:
         return ("layers", len(self.layers) - 1)
+
+
+class CNN:
+    """Small Conv2d -> act -> ... -> flatten -> Linear classifier with KFAC
+    taps on every conv and linear layer (the analog of the reference
+    test-suite's conv models used by the curvature-backend cross-checks,
+    tests/test_curv_backends_curvlinops.py).
+
+    ``conv_specs``: sequence of (in_ch, out_ch, kernel_size) triples;
+    ``head_in``/``n_outputs`` size the final Linear after flattening.
+    """
+
+    def __init__(self, conv_specs: Sequence[tuple], head_in: int,
+                 n_outputs: int, act: str = "relu", bias: bool = True):
+        self.act = activation_resolver(act)
+        self.convs = [
+            Conv2d(ci, co, k, bias=bias, name=f"convs.{i}")
+            for i, (ci, co, k) in enumerate(conv_specs)
+        ]
+        self.head = Linear(head_in, n_outputs, bias=bias, name="head")
+        self.n_outputs = n_outputs
+
+    def init(self, key, dtype=None) -> dict:
+        keys = jax.random.split(key, len(self.convs) + 1)
+        return {
+            "convs": [c.init(k, dtype) for c, k in zip(self.convs, keys)],
+            "head": self.head.init(keys[-1], dtype),
+        }
+
+    def apply(self, params: dict, x: jnp.ndarray,
+              taps: Optional[TapCollector] = None,
+              rng=None, train: bool = False) -> jnp.ndarray:
+        del rng, train
+        h = x
+        for i, conv in enumerate(self.convs):
+            h = self.act(conv.apply(params["convs"][i], h, taps=taps))
+        h = h.reshape(h.shape[0], -1)
+        return self.head.apply(params["head"], h, taps=taps)
+
+    last_layer_closed_form = True
+
+    def features(self, params: dict, X) -> tuple:
+        taps = TapCollector()
+        f = self.apply(params, X, taps=taps)
+        a = [a for (n, a, s) in taps.records if n == "head"][-1]
+        return a, f
+
+    def tap_sites(self, params: dict) -> list[dict]:
+        sites = [
+            {"name": c.name, "param_path": ("convs", i), "has_bias": c.use_bias}
+            for i, c in enumerate(self.convs)
+        ]
+        sites.append({"name": "head", "param_path": ("head",),
+                      "has_bias": self.head.use_bias})
+        return sites
+
+    def last_layer_path(self, params: dict) -> tuple:
+        return ("head",)
 
 
 def get_subtree(params: Any, path: tuple):
