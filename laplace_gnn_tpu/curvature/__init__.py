@@ -3,11 +3,11 @@ from .base import LinearOperator, PyTreeOperator
 from .estimators import (hutchinson_diag, hutchinson_squared_fro,
                          hutchinson_trace, hutchpp_trace)
 from .inverse import (CGInverseOperator, KFACInverseOperator,
-                      NeumannInverseOperator)
+                      LSMRInverseOperator, NeumannInverseOperator, lsmr)
 from .spectrum import lanczos_eigh, lanczos_spectrum, lanczos_tridiag
 from .interface import (BACKEND_REGISTRY, CurvatureBackend, EFBackend,
                         GGNBackend, HessianBackend)
-from .kfac import compute_kfac_factors
+from .kfac import KFACOperator, compute_kfac_factors
 from .losses import (cross_entropy_sum, get_loss_fn, likelihood_factor,
                      loss_hessian, loss_hessian_diag, loss_hessian_mvp,
                      loss_hessian_sqrt, mse_sum)

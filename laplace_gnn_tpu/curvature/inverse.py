@@ -1,9 +1,10 @@
-"""Inverse linear operators: CG, Neumann, KFAC-inverse.
+"""Inverse linear operators: CG, LSMR, Neumann, KFAC-inverse.
 
 Counterparts of ``curvlinops/inverse.py`` (CGInverseLinearOperator:35,
-NeumannInverseLinearOperator:166, KFACInverseLinearOperator:295 with
-plain / heuristic (Martens-Grosse pi) / exact damping). LSMR is subsumed by
-CG on the normal equations for the symmetric PSD operators used here.
+LSMRInverseLinearOperator:91, NeumannInverseLinearOperator:166,
+KFACInverseLinearOperator:295 with plain / heuristic (Martens-Grosse pi) /
+exact damping). LSMR is the Fong & Saunders (2011) Golub-Kahan recurrence
+implemented as a ``lax.while_loop`` so it stays jittable on TPU.
 """
 
 from __future__ import annotations
@@ -33,6 +34,82 @@ class CGInverseOperator(LinearOperator):
               else lambda x: self.op.matvec(x) + self.damping * x)
         x, _ = jax.scipy.sparse.linalg.cg(mv, v, tol=self.tol,
                                           maxiter=self.maxiter)
+        return x
+
+
+def _sym_ortho(a, b):
+    r = jnp.hypot(a, b)
+    safe = jnp.where(r > 0, r, 1.0)
+    return jnp.where(r > 0, a / safe, 1.0), jnp.where(r > 0, b / safe, 0.0), r
+
+
+def lsmr(matvec, rmatvec, b, damp: float = 0.0, atol: float = 1e-6,
+         maxiter: int = 100):
+    """Solve min_x ||A x - b||^2 + damp^2 ||x||^2 via LSMR
+    (Fong & Saunders 2011, the algorithm behind scipy's ``lsmr`` used by the
+    reference's LSMRInverseLinearOperator). Jittable: fixed-state
+    ``lax.while_loop`` with the ||A^T r|| = |zetabar| stopping rule."""
+    u = b
+    beta0 = jnp.linalg.norm(u)
+    u = u / jnp.where(beta0 > 0, beta0, 1.0)
+    v = rmatvec(u)
+    alpha0 = jnp.linalg.norm(v)
+    v = v / jnp.where(alpha0 > 0, alpha0, 1.0)
+    x = jnp.zeros_like(v)
+    state = dict(k=jnp.asarray(0), u=u, v=v, alpha=alpha0,
+                 alphabar=alpha0, zetabar=alpha0 * beta0,
+                 rho=jnp.asarray(1.0, b.dtype), rhobar=jnp.asarray(1.0, b.dtype),
+                 cbar=jnp.asarray(1.0, b.dtype), sbar=jnp.asarray(0.0, b.dtype),
+                 h=v, hbar=jnp.zeros_like(v), x=x)
+    tol = atol * alpha0 * beta0
+
+    def cond(s):
+        return (s["k"] < maxiter) & (jnp.abs(s["zetabar"]) > tol)
+
+    def body(s):
+        u = matvec(s["v"]) - s["alpha"] * s["u"]
+        beta = jnp.linalg.norm(u)
+        u = u / jnp.where(beta > 0, beta, 1.0)
+        v = rmatvec(u) - beta * s["v"]
+        alpha = jnp.linalg.norm(v)
+        v = v / jnp.where(alpha > 0, alpha, 1.0)
+
+        _, _, alphahat = _sym_ortho(s["alphabar"], damp)
+        rho_old, rhobar_old = s["rho"], s["rhobar"]
+        c, sn, rho = _sym_ortho(alphahat, beta)
+        thetanew = sn * alpha
+        alphabar = c * alpha
+        thetabar = s["sbar"] * rho
+        cbar, sbar, rhobar = _sym_ortho(s["cbar"] * rho, thetanew)
+        zeta = cbar * s["zetabar"]
+        zetabar = -sbar * s["zetabar"]
+        hbar = s["h"] - (thetabar * rho / (rho_old * rhobar_old)) * s["hbar"]
+        x = s["x"] + (zeta / (rho * rhobar)) * hbar
+        h = v - (thetanew / rho) * s["h"]
+        return dict(k=s["k"] + 1, u=u, v=v, alpha=alpha, alphabar=alphabar,
+                    zetabar=zetabar, rho=rho, rhobar=rhobar, cbar=cbar,
+                    sbar=sbar, h=h, hbar=hbar, x=x)
+
+    out = jax.lax.while_loop(cond, body, state)
+    return out["x"], out["k"]
+
+
+class LSMRInverseOperator(LinearOperator):
+    """A^+ v via LSMR (curvlinops/inverse.py:91); works for rectangular or
+    singular operators where CG does not apply, and supports Tikhonov
+    ``damp`` regularization: solves min ||A x - v||^2 + damp^2 ||x||^2."""
+
+    def __init__(self, op: LinearOperator, damp: float = 0.0,
+                 atol: float = 1e-8, maxiter: Optional[int] = None):
+        super().__init__((op.shape[1], op.shape[0]), op.dtype)
+        self.op = op
+        self.damp = damp
+        self.atol = atol
+        self.maxiter = maxiter or 4 * max(op.shape)
+
+    def matvec(self, v):
+        x, _ = lsmr(self.op.matvec, self.op.rmatvec, v, damp=self.damp,
+                    atol=self.atol, maxiter=self.maxiter)
         return x
 
 
