@@ -16,7 +16,7 @@ from typing import Any, Callable, Dict, Optional, Union
 import jax
 import jax.numpy as jnp
 
-from ..graph.container import SparseGraph
+from ..graph.container import FastAggGraph, SparseGraph
 from ..nn.module import (Linear, TapCollector, activation_resolver, dropout,
                          make_norm, resolve_dtype)
 from .layers import GCNConv
@@ -33,6 +33,10 @@ class SparseGCN:
                  act_kwargs: Optional[Dict[str, Any]] = None,
                  norm: Optional[str] = None, res: bool = False):
         self.X = jnp.asarray(X)
+        # custom-VJP fast path: backward/transposed aggregation goes through
+        # the same sorted/ELL machinery as the forward (see make_spmm)
+        if isinstance(graph, SparseGraph):
+            graph = FastAggGraph(graph)
         self.graph = graph
         self.in_channels = in_channels
         self.hidden_channels = hidden_channels

@@ -42,6 +42,82 @@ def test_ell_matches_segment(karate):
                                np.asarray(g_ell.spmm(x)), atol=1e-9)
 
 
+def test_hybrid_ell_bounded_k_matches_segment(karate):
+    """Bounded-K ELL routes overflow edges of high-degree nodes through the
+    COO remainder; result must equal the plain segment path exactly."""
+    d = karate
+    g = sparse_from_edge_index(d.edge_index, d.num_nodes, normalize="sym")
+    x = jax.random.normal(jax.random.PRNGKey(2), (d.num_nodes, 7))
+    for k in (1, 3, 8):
+        g_ell = add_ell_format(g, max_k=k)
+        assert g_ell.ell_cols.shape[1] == k
+        assert int(g_ell.ell_vals.sum() + g_ell.rem_w.sum()) > 0
+        np.testing.assert_allclose(np.asarray(g.spmm(x)),
+                                   np.asarray(g_ell.spmm(x)), atol=1e-9)
+    # auto-K selection stays within the padding budget and is exact
+    g_auto = add_ell_format(g, pad_budget=1.5)
+    np.testing.assert_allclose(np.asarray(g.spmm(x)),
+                               np.asarray(g_auto.spmm(x)), atol=1e-9)
+
+
+def test_agg_dtype_cast():
+    import dataclasses
+    rng = np.random.default_rng(0)
+    ei = np.array([[0, 1, 2, 3], [1, 2, 3, 0]])
+    g = sparse_from_edge_index(ei, 4, normalize="sym")
+    g16 = dataclasses.replace(g, agg_dtype="bfloat16")
+    x = jnp.asarray(rng.standard_normal((4, 6)), jnp.float32)
+    out = g16.spmm(x)
+    assert out.dtype == x.dtype
+    np.testing.assert_allclose(np.asarray(out), np.asarray(g.spmm(x)),
+                               atol=2e-2)
+
+
+def test_make_spmm_grads_match_dense():
+    """Custom-VJP spmm: gradient and jvp equal the dense-adjacency oracle,
+    for both symmetric and asymmetric graphs (asymmetric exercises the
+    transposed-graph backward)."""
+    from laplace_gnn_tpu.graph.container import make_spmm
+    rng = np.random.default_rng(0)
+    n = 9
+    for normalize in ("sym", "row"):  # row-normalized graph is asymmetric
+        a = (rng.random((n, n)) < 0.4).astype(float)
+        a = np.minimum(a + a.T, 1.0)
+        np.fill_diagonal(a, 0)
+        ei = np.array(np.nonzero(a))
+        g = sparse_from_edge_index(ei, n, normalize=normalize)
+        assert g.symmetric == (normalize == "sym")
+        spmm = make_spmm(g)
+        dense = np.asarray(g.to_dense())
+        x = jnp.asarray(rng.standard_normal((n, 5)))
+        ct = jnp.asarray(rng.standard_normal((n, 5)))
+
+        out, vjp = jax.vjp(spmm, x)
+        np.testing.assert_allclose(np.asarray(out), dense @ np.asarray(x),
+                                   atol=1e-9)
+        np.testing.assert_allclose(np.asarray(vjp(ct)[0]),
+                                   dense.T @ np.asarray(ct), atol=1e-9)
+        _, tang = jax.jvp(spmm, (x,), (ct,))
+        np.testing.assert_allclose(np.asarray(tang),
+                                   dense @ np.asarray(ct), atol=1e-9)
+
+
+def test_fast_agg_in_sparse_gcn_hyperstep(karate):
+    """SparseGCN (FastAggGraph path) still supports the full value_and_grad
+    + KFAC pipeline (jvp and vjp both flow through the custom spmm)."""
+    from laplace_gnn_tpu.curvature import compute_kfac_factors
+    from laplace_gnn_tpu.models.sparse_gnn import SparseGCN
+    d = karate
+    g = sparse_from_edge_index(d.edge_index, d.num_nodes, normalize="sym")
+    X = jax.random.normal(jax.random.PRNGKey(0), (d.num_nodes, 6))
+    model = SparseGCN(6, 8, 2, 2, X, g, dropout_p=0.0)
+    params = model.init(jax.random.PRNGKey(1))
+    y = jnp.asarray(np.asarray(d.y) % 2)
+    kron = compute_kfac_factors(model, params, None, y, "classification",
+                                N=d.num_nodes)
+    assert np.isfinite(np.asarray(kron.to_matrix()).sum())
+
+
 def test_row_normalization_mean_agg(karate):
     d = karate
     g = sparse_from_edge_index(d.edge_index, d.num_nodes, normalize="row",
