@@ -86,6 +86,46 @@ def build_halo_plan(adj: np.ndarray, part: Partition) -> HaloPlan:
     return HaloPlan(halo_indices=halos, n_owned=np.array(n_owned))
 
 
+def rcm_order(edge_index, n_nodes: int) -> np.ndarray:
+    """Reverse Cuthill-McKee node ordering from a (2, E) edge index.
+
+    Concentrates edges near the diagonal (small bandwidth), which (a) makes
+    aggregation gathers touch nearby feature rows — HBM row-buffer locality
+    — and (b) minimizes halo volume for contiguous-block partitions: a node's
+    neighbors land in the same or adjacent blocks.
+
+    Returns ``order`` such that new node ``i`` is old node ``order[i]``; use
+    :func:`apply_node_order` to remap a graph.
+    """
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    ei = np.asarray(edge_index)
+    data = np.ones(ei.shape[1], dtype=np.int8)
+    A = sp.csr_matrix((data, (ei[0], ei[1])), shape=(n_nodes, n_nodes))
+    A = A + A.T
+    return np.asarray(reverse_cuthill_mckee(A, symmetric_mode=True))
+
+
+def apply_node_order(edge_index, order: np.ndarray,
+                     *arrays) -> tuple:
+    """Relabel a graph (and per-node arrays such as X, y) under ``order``
+    (new i = old order[i]): returns (new_edge_index, *reindexed_arrays)."""
+    order = np.asarray(order)
+    inv = np.empty_like(order)
+    inv[order] = np.arange(len(order))
+    ei = inv[np.asarray(edge_index)]
+    return (ei,) + tuple(np.asarray(a)[order] for a in arrays)
+
+
+def bandwidth(edge_index) -> int:
+    """Max |src - dst| over edges — the locality metric RCM minimizes."""
+    ei = np.asarray(edge_index)
+    if ei.shape[1] == 0:
+        return 0
+    return int(np.abs(ei[0] - ei[1]).max())
+
+
 def partition_efficiency(adj: np.ndarray, part: Partition) -> dict:
     """Diagnostics: edge balance and halo volume per device."""
     adj = np.asarray(adj)[part.perm][:, part.perm]

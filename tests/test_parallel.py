@@ -151,3 +151,44 @@ def test_sharded_sparse_aggregate_matches_dense():
     g_bad = sparse_from_edge_index(np.stack([cols, rows])[:, :10], 63)
     with pytest.raises(ValueError, match="divide"):
         partition_sparse_graph(g_bad, 4)
+
+
+def test_rcm_order_reduces_bandwidth_and_preserves_spmm():
+    """RCM on a shuffled banded graph recovers low bandwidth; relabeling is
+    an isomorphism (spmm commutes with the permutation)."""
+    import jax
+    import jax.numpy as jnp
+    from laplace_gnn_tpu.graph.container import sparse_from_edge_index
+    from laplace_gnn_tpu.parallel import apply_node_order, bandwidth, rcm_order
+
+    rng = np.random.default_rng(0)
+    n = 200
+    # banded graph in a hidden "good" order, then shuffled
+    src = np.tile(np.arange(n - 3), 3)
+    dst = np.concatenate([np.arange(n - 3) + k for k in (1, 2, 3)])
+    shuffle = rng.permutation(n)
+    ei_shuf, = apply_node_order(np.stack([src, dst]), np.argsort(shuffle))
+    bw_shuf = bandwidth(ei_shuf)
+
+    order = rcm_order(ei_shuf, n)
+    ei_rcm, = apply_node_order(ei_shuf, order)
+    assert bandwidth(ei_rcm) <= 6 < bw_shuf
+
+    # isomorphism: spmm on the relabeled graph == permuted spmm
+    X = rng.standard_normal((n, 4))
+    g = sparse_from_edge_index(ei_shuf, n, normalize="sym")
+    g2 = sparse_from_edge_index(ei_rcm, n, normalize="sym")
+    out1 = np.asarray(g.spmm(jnp.asarray(X)))
+    out2 = np.asarray(g2.spmm(jnp.asarray(X[order])))
+    np.testing.assert_allclose(out2, out1[order], atol=1e-9)
+
+    # what RCM buys multi-chip: far smaller halos under contiguous blocks
+    from laplace_gnn_tpu.graph.data import edge_index_to_adj
+    from laplace_gnn_tpu.parallel import Partition, build_halo_plan
+    part = Partition(offsets=np.array([0, 50, 100, 150, n]),
+                     perm=np.arange(n))
+    halo_shuf = build_halo_plan(
+        np.asarray(edge_index_to_adj(ei_shuf, n)), part).halo_sizes().sum()
+    halo_rcm = build_halo_plan(
+        np.asarray(edge_index_to_adj(ei_rcm, n)), part).halo_sizes().sum()
+    assert halo_rcm <= 20 < halo_shuf
