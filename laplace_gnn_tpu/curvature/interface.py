@@ -158,7 +158,8 @@ class CurvatureBackend:
     _kron_fisher_type: str = "type-2"
 
     def _kron(self, X, y, N: int, fisher_type: Optional[str] = None,
-              mc_samples: int = 1, kfac_approx: str = "expand", seed: int = 0):
+              mc_samples: int = 1, kfac_approx: str = "expand", seed: int = 0,
+              column_chunk: Optional[int] = None):
         """Shared KFAC path (laplace/curvature/curvlinops.py:77-108):
         compute factors on this batch, rescale A by M/N, multiply by factor."""
         kron, out = compute_kfac_factors(
@@ -167,7 +168,7 @@ class CurvatureBackend:
             fisher_type=fisher_type or self._kron_fisher_type,
             mc_samples=mc_samples, kfac_approx=kfac_approx,
             exclude=self.exclude, last_layer=self.last_layer,
-            N=N, seed=seed, return_output=True)
+            N=N, seed=seed, return_output=True, column_chunk=column_chunk)
         kron = kron * self.factor
         # reuse the factor-computation forward for the loss (one full-graph
         # forward total instead of three)

