@@ -22,6 +22,103 @@ from ..nn.module import (Linear, TapCollector, activation_resolver, dropout,
 from .layers import GCNConv
 
 
+class SparseSAGEConv:
+    """GraphSAGE conv over a SparseGraph: mean neighbor aggregation
+    (row-normalized edge weights) + concat + Linear — the scale variant of
+    ``GraphSAGEConv`` (reference gnn/models/layers.py:5-29). Build the graph
+    with ``normalize='row'`` so ``spmm`` is the mean aggregation."""
+
+    def __init__(self, in_channels: int, out_channels: int, bias: bool = True,
+                 name: str = "conv"):
+        self.in_channels = in_channels
+        self.out_channels = out_channels
+        self.lin = Linear(2 * in_channels, out_channels, bias=bias, name=name)
+        self.name = name
+
+    def init(self, key, dtype=None) -> dict:
+        return {"lin": self.lin.init(key, dtype)}
+
+    def apply(self, params: dict, graph, x, taps=None):
+        x_neigh = graph.spmm(x)
+        h = jnp.concatenate([x, x_neigh], axis=-1)
+        return self.lin.apply(params["lin"], h, taps=taps)
+
+    def tap_sites(self) -> list:
+        return [{"name": self.name, "param_path": ("lin",),
+                 "has_bias": self.lin.use_bias}]
+
+
+class SparseGATConv:
+    """GAT attention over the edges of a SparseGraph (edge-softmax via
+    segment max/sum on dst-sorted edges) — the scale variant of ``GATConv``.
+    Same parameterization as the dense layer (xavier-uniform att vectors);
+    attention weights are computed per edge, so no N x N score matrix is
+    ever materialized. Pass a graph with self-loops and no normalization
+    (attention provides its own)."""
+
+    def __init__(self, in_channels: int, out_channels: int, heads: int,
+                 negative_slope: float = 0.2, concat: bool = True,
+                 bias: bool = True, name: str = "conv"):
+        self.in_channels = in_channels
+        self.out_channels = out_channels
+        self.heads = heads
+        self.negative_slope = negative_slope
+        self.concat = concat
+        self.use_bias = bias
+        self.lin = Linear(in_channels, heads * out_channels, bias=False,
+                          name=name)
+        self.name = name
+
+    def init(self, key, dtype=None) -> dict:
+        dtype = resolve_dtype(dtype)
+        lkey, skey, dkey = jax.random.split(key, 3)
+        params = {"lin": self.lin.init(lkey, dtype)}
+        bound = jnp.sqrt(6.0 / (1 + self.heads * self.out_channels))
+        params["att_src"] = jax.random.uniform(
+            skey, (1, self.heads, self.out_channels), dtype, -bound, bound)
+        params["att_dst"] = jax.random.uniform(
+            dkey, (1, self.heads, self.out_channels), dtype, -bound, bound)
+        if self.use_bias:
+            total = self.out_channels * (self.heads if self.concat else 1)
+            params["bias"] = jnp.zeros((total,), dtype)
+        return params
+
+    def apply(self, params: dict, graph, x, taps=None):
+        g = getattr(graph, "graph", graph)       # unwrap FastAggGraph
+        n = x.shape[0]
+        h = self.lin.apply(params["lin"], x, taps=taps)
+        h = h.reshape(n, self.heads, self.out_channels)          # (N, H, F)
+        a_src = jnp.sum(h * params["att_src"], axis=-1)          # (N, H)
+        a_dst = jnp.sum(h * params["att_dst"], axis=-1)
+
+        src, dst = g.src, g.dst
+        scores = jax.nn.leaky_relu(a_src[src] + a_dst[dst],
+                                   self.negative_slope)          # (E, H)
+        smax = jax.ops.segment_max(scores, dst, num_segments=n,
+                                   indices_are_sorted=g.dst_sorted)
+        ex = jnp.exp(scores - smax[dst])
+        denom = jax.ops.segment_sum(ex, dst, num_segments=n,
+                                    indices_are_sorted=g.dst_sorted)
+        coeff = ex / jnp.maximum(denom[dst], 1e-16)              # (E, H)
+        msgs = coeff[:, :, None] * h[src]                        # (E, H, F)
+        out = jax.ops.segment_sum(msgs, dst, num_segments=n,
+                                  indices_are_sorted=g.dst_sorted)
+        if self.concat:
+            out = out.reshape(n, self.heads * self.out_channels)
+        else:
+            out = out.mean(axis=1)
+        if self.use_bias:
+            out = out + params["bias"]
+        return out
+
+    def tap_sites(self) -> list:
+        # attention vectors are not Linear parameters -> KFAC-incomplete,
+        # same restriction as the dense GATConv / the reference's
+        # Linear+Conv2d-only KFAC (curvlinops/kfac.py:130)
+        return [{"name": self.name, "param_path": (),
+                 "has_bias": self.use_bias, "kfac_incomplete": True}]
+
+
 class SparseGCN:
     """GCN over a SparseGraph; same hyperparameters as GCN, params dict is
     {"convs": [...], ("res": [...], "norms": [...])} — no 'adj' entry."""
@@ -126,3 +223,49 @@ class SparseGCN:
 
     def last_layer_path(self, params) -> tuple:
         return ("convs", len(self.convs) - 1, "lin")
+
+
+class SparseSAGE(SparseGCN):
+    """GraphSAGE over a SparseGraph: mean neighbor aggregation + concat +
+    Linear per layer. Build the graph with ``normalize='row'``. Unlike the
+    dense ``GraphSAGE`` there is no per-forward neighbor sampling (the
+    static-shape scale path aggregates all neighbors; use the dense model
+    for the reference's sampled variant)."""
+
+    def __init__(self, in_channels, hidden_channels, out_channels,
+                 num_layers, X, graph, **kwargs):
+        super().__init__(in_channels, hidden_channels, out_channels,
+                         num_layers, X, graph, **kwargs)
+        # rebuild convs as SAGE convs (same names/paths)
+        self.convs = [
+            SparseSAGEConv(c.in_channels, c.out_channels, name=c.name)
+            for c in self.convs
+        ]
+        # first tap sees concat[X, agg X wrt row-normalized weights] — still
+        # parameter-independent, but not X^T X, so disable the cached-A0 path
+        self.first_tap_static = False
+
+
+class SparseGAT(SparseGCN):
+    """GAT over a SparseGraph with per-edge softmax attention. Pass a graph
+    with self-loops and ``normalize=None`` (attention normalizes itself).
+    ``hidden_channels`` must divide by ``heads`` (as in the dense GAT)."""
+
+    def __init__(self, in_channels, hidden_channels, out_channels,
+                 num_layers, X, graph, heads: int = 1, concat: bool = True,
+                 **kwargs):
+        super().__init__(in_channels, hidden_channels, out_channels,
+                         num_layers, X, graph, **kwargs)
+        convs = []
+        for c in self.convs:
+            # heads apply to every layer, as in the dense GAT
+            if concat and c.out_channels % heads != 0:
+                raise ValueError(
+                    f"Ensure that the number of output channels of "
+                    f"'SparseGATConv' (got '{c.out_channels}') is divisible "
+                    f"by the number of heads (got '{heads}')")
+            out_ch = c.out_channels // (heads if concat else 1)
+            convs.append(SparseGATConv(c.in_channels, out_ch, heads=heads,
+                                       concat=concat, name=c.name))
+        self.convs = convs
+        self.first_tap_static = False
