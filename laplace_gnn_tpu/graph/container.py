@@ -25,6 +25,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import native
+
 
 @dataclass(frozen=True)
 class SparseGraph:
@@ -91,10 +93,15 @@ class SparseGraph:
         src = np.asarray(self.dst)
         dst = np.asarray(self.src)
         w = np.asarray(self.weights)
-        order = np.argsort(dst, kind="stable")
-        g = SparseGraph(src=jnp.asarray(src[order]),
-                        dst=jnp.asarray(dst[order]),
-                        weights=jnp.asarray(w[order]),
+        if native.available():
+            src, dst, w64, _ = native.sort_by_dst(src, dst, w, self.n_nodes)
+            w = w64.astype(w.dtype)
+        else:
+            order = np.argsort(dst, kind="stable")
+            src, dst, w = src[order], dst[order], w[order]
+        g = SparseGraph(src=jnp.asarray(src),
+                        dst=jnp.asarray(dst),
+                        weights=jnp.asarray(w),
                         n_nodes=self.n_nodes, format="segment",
                         dst_sorted=True, agg_dtype=self.agg_dtype,
                         symmetric=self.symmetric)
@@ -166,8 +173,15 @@ def sparse_from_edge_index(edge_index, n_nodes: int,
     # and normalize_adj scales with *row* sums of the dense adj then
     # transposes (gnn/models/utils.py:106-112). For the (symmetric) graphs
     # the reference uses, this is deg(dst)^-1/2 * w * deg(src)^-1/2.
-    deg = np.zeros(n_nodes)
-    np.add.at(deg, dst, w)
+    # The O(E) passes (degree, stable dst-sort, symmetry lexsorts) run in
+    # the native C++ engine when available (exact-parity tested); the numpy
+    # path below is the fallback.
+    use_native = native.available()
+    if use_native:
+        deg = native.degree(dst, w, n_nodes)
+    else:
+        deg = np.zeros(n_nodes)
+        np.add.at(deg, dst, w)
     if normalize == "sym":
         dinv = np.where(deg > 0, deg ** -0.5, 0.0)
         w = dinv[dst] * w * dinv[src]
@@ -179,15 +193,19 @@ def sparse_from_edge_index(edge_index, n_nodes: int,
 
     # dst-major edge order: turns the scatter-add into a segmented
     # reduction on TPU (see SparseGraph.spmm)
-    order = np.argsort(dst, kind="stable")
-    src, dst, w = src[order], dst[order], w[order]
-
-    # symmetry detection: sorted (dst, src, w) triples == (src, dst, w)
-    o1 = np.lexsort((src, dst))
-    o2 = np.lexsort((dst, src))
-    symmetric = bool(
-        np.array_equal(src[o1], dst[o2]) and np.array_equal(dst[o1], src[o2])
-        and np.allclose(w[o1], w[o2]))
+    if use_native:
+        src, dst, w, _ = native.sort_by_dst(src, dst, w, n_nodes)
+        # symmetry: sorted (dst, src, w) triples == (src, dst, w)
+        symmetric = native.check_symmetric(src, dst, w, n_nodes)
+    else:
+        order = np.argsort(dst, kind="stable")
+        src, dst, w = src[order], dst[order], w[order]
+        o1 = np.lexsort((src, dst))
+        o2 = np.lexsort((dst, src))
+        symmetric = bool(
+            np.array_equal(src[o1], dst[o2])
+            and np.array_equal(dst[o1], src[o2])
+            and np.allclose(w[o1], w[o2]))
 
     g = SparseGraph(src=jnp.asarray(src, dtype=jnp.int32),
                     dst=jnp.asarray(dst, dtype=jnp.int32),
@@ -307,40 +325,56 @@ def add_ell_format(g: SparseGraph, max_k: Optional[int] = None,
     dst = np.asarray(g.dst)
     w = np.asarray(g.weights)
     n = g.n_nodes
-    order = np.argsort(dst, kind="stable")
-    src, dst, w = src[order], dst[order], w[order]
-    counts = np.bincount(dst, minlength=n)
-    max_deg = int(counts.max()) if len(counts) else 0
-    if max_k is None:
-        max_k = max_deg
-        total = max(len(src), 1)
-        for k in range(1, max_deg + 1):
-            in_ell = np.minimum(counts, k).sum()
-            if n * k <= pad_budget * in_ell or in_ell >= 0.98 * total:
-                max_k = k
-                if in_ell >= 0.9 * total:
-                    break
-    K = min(max_k, max_deg)
-    cols = np.zeros((n, K), dtype=np.int32)
-    vals = np.zeros((n, K), dtype=np.asarray(g.weights).dtype)
-    offsets = np.concatenate([[0], np.cumsum(counts)])
-    rem_src, rem_dst, rem_w = [], [], []
-    for i in range(n):
-        k = int(counts[i])
-        kk = min(k, K)
-        cols[i, :kk] = src[offsets[i]: offsets[i] + kk]
-        vals[i, :kk] = w[offsets[i]: offsets[i] + kk]
-        if k > K:
-            rem_src.append(src[offsets[i] + K: offsets[i] + k])
-            rem_dst.append(np.full(k - K, i, dtype=np.int64))
-            rem_w.append(w[offsets[i] + K: offsets[i] + k])
-    if rem_src:
-        rs = np.concatenate(rem_src)
-        rd = np.concatenate(rem_dst)
-        rw = np.concatenate(rem_w)
+    if native.available():
+        if g.dst_sorted:  # already dst-major: offsets via one bincount pass
+            counts = np.bincount(dst, minlength=n)
+            offsets = np.concatenate([[0], np.cumsum(counts)])
+            w64 = np.ascontiguousarray(w, np.float64)
+        else:
+            src, dst, w64, offsets = native.sort_by_dst(src, dst, w, n)
+            counts = np.diff(offsets)
+        max_deg = int(counts.max()) if len(counts) else 0
+        if max_k is None:
+            max_k = native.choose_k(offsets, pad_budget)
+        K = min(max_k, max_deg)
+        cols, vals64, rs, rd, rw64 = native.ell_pack(src, w64, offsets, K)
+        vals = vals64.astype(w.dtype)
+        rw = rw64.astype(w.dtype)
     else:
-        rs = rd = np.zeros(0, np.int64)
-        rw = np.zeros(0, np.asarray(g.weights).dtype)
+        order = np.argsort(dst, kind="stable")
+        src, dst, w = src[order], dst[order], w[order]
+        counts = np.bincount(dst, minlength=n)
+        max_deg = int(counts.max()) if len(counts) else 0
+        if max_k is None:
+            max_k = max_deg
+            total = max(len(src), 1)
+            for k in range(1, max_deg + 1):
+                in_ell = np.minimum(counts, k).sum()
+                if n * k <= pad_budget * in_ell or in_ell >= 0.98 * total:
+                    max_k = k
+                    if in_ell >= 0.9 * total:
+                        break
+        K = min(max_k, max_deg)
+        cols = np.zeros((n, K), dtype=np.int32)
+        vals = np.zeros((n, K), dtype=np.asarray(g.weights).dtype)
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        rem_src, rem_dst, rem_w = [], [], []
+        for i in range(n):
+            k = int(counts[i])
+            kk = min(k, K)
+            cols[i, :kk] = src[offsets[i]: offsets[i] + kk]
+            vals[i, :kk] = w[offsets[i]: offsets[i] + kk]
+            if k > K:
+                rem_src.append(src[offsets[i] + K: offsets[i] + k])
+                rem_dst.append(np.full(k - K, i, dtype=np.int64))
+                rem_w.append(w[offsets[i] + K: offsets[i] + k])
+        if rem_src:
+            rs = np.concatenate(rem_src)
+            rd = np.concatenate(rem_dst)
+            rw = np.concatenate(rem_w)
+        else:
+            rs = rd = np.zeros(0, np.int64)
+            rw = np.zeros(0, np.asarray(g.weights).dtype)
     return SparseGraph(src=g.src, dst=g.dst, weights=g.weights,
                        n_nodes=n, ell_cols=jnp.asarray(cols),
                        ell_vals=jnp.asarray(vals), format="ell",
