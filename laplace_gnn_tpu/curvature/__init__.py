@@ -4,7 +4,14 @@ from .estimators import (hutchinson_diag, hutchinson_squared_fro,
                          hutchinson_trace, hutchpp_trace)
 from .inverse import (CGInverseOperator, KFACInverseOperator,
                       LSMRInverseOperator, NeumannInverseOperator, lsmr)
-from .spectrum import lanczos_eigh, lanczos_spectrum, lanczos_tridiag
+from .spectrum import (LanczosApproximateLogSpectrumCached,
+                       LanczosApproximateSpectrumCached,
+                       approximate_boundaries, approximate_boundaries_abs,
+                       fast_lanczos, lanczos_approximate_log_spectrum,
+                       lanczos_approximate_log_spectrum_from_iter,
+                       lanczos_approximate_spectrum,
+                       lanczos_approximate_spectrum_from_iter, lanczos_eigh,
+                       lanczos_spectrum, lanczos_tridiag)
 from .interface import (BACKEND_REGISTRY, CurvatureBackend, EFBackend,
                         GGNBackend, HessianBackend)
 from .kfac import KFACOperator, compute_kfac_factors

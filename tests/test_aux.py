@@ -177,3 +177,92 @@ def test_device_time_helper():
     assert t >= 0.0
     stats = profiling.memory_stats()
     assert isinstance(stats, dict)
+
+
+def test_fast_lanczos_extremes_and_scan_parity(psd_op):
+    # No-reorthogonalization Lanczos (like the reference's fast_lanczos)
+    # loses orthogonality at full rank — ghost eigenvalues are expected —
+    # but the spectral extremes converge fast and the quadrature moments
+    # stay valid (checked via the density tests below).
+    from laplace_gnn_tpu.curvature import fast_lanczos
+    op, M = psd_op
+    true = np.asarray(jnp.linalg.eigvalsh(M))
+    evals, evecs = fast_lanczos(op, ncv=30, key=jax.random.PRNGKey(7))
+    np.testing.assert_allclose(float(evals[-1]), true[-1], rtol=1e-4)
+    np.testing.assert_allclose(float(evals[0]), true[0], rtol=0.05)
+    # scan and unrolled variants agree on the converged extremes (interior
+    # ghost eigenvalues diverge between compilations — rounding is
+    # amplified once orthogonality is lost, same as the reference's
+    # fast_lanczos across BLAS builds)
+    e2, _ = fast_lanczos(op, ncv=30, key=jax.random.PRNGKey(7),
+                         use_scan=False)
+    np.testing.assert_allclose(float(e2[-1]), float(evals[-1]), rtol=1e-6)
+    np.testing.assert_allclose(float(e2[0]), float(evals[0]), rtol=1e-3)
+
+
+def test_approximate_boundaries(psd_op):
+    from laplace_gnn_tpu.curvature import (approximate_boundaries,
+                                           approximate_boundaries_abs)
+    op, M = psd_op
+    true = np.asarray(jnp.linalg.eigvalsh(M))
+    lo, hi = approximate_boundaries(op, ncv=30)
+    np.testing.assert_allclose([lo, hi], [true[0], true[-1]], rtol=1e-3)
+    # pinned ends are not recomputed
+    lo2, hi2 = approximate_boundaries(op, boundaries=(0.0, None), ncv=30)
+    assert lo2 == 0.0 and abs(hi2 - true[-1]) / true[-1] < 1e-3
+    alo, ahi = approximate_boundaries_abs(op, ncv=30)
+    np.testing.assert_allclose([alo, ahi],
+                               [np.abs(true).min(), np.abs(true).max()],
+                               rtol=1e-3)
+
+
+def test_lanczos_approximate_spectrum_density(psd_op):
+    from laplace_gnn_tpu.curvature import lanczos_approximate_spectrum
+    op, M = psd_op
+    grid, density = lanczos_approximate_spectrum(op, ncv=30, num_points=512,
+                                                 num_repeats=3)
+    assert np.all(density >= -1e-9)
+    np.testing.assert_allclose(np.trapezoid(density, grid), 1.0, atol=0.1)
+    # first moment matches trace/d (Gaussian quadrature preserves moments)
+    mean_est = np.trapezoid(grid * density, grid)
+    np.testing.assert_allclose(mean_est,
+                               float(jnp.trace(M)) / M.shape[0], rtol=0.1)
+
+
+def test_lanczos_approximate_log_spectrum_density(psd_op):
+    from laplace_gnn_tpu.curvature import lanczos_approximate_log_spectrum
+    op, M = psd_op
+    grid, density = lanczos_approximate_log_spectrum(op, ncv=30,
+                                                     num_points=512,
+                                                     num_repeats=2)
+    assert np.all(grid > 0)
+    # density of log-eigenvalues: integral over log-grid is ~1
+    np.testing.assert_allclose(np.trapezoid(density * grid, np.log(grid)),
+                               1.0, atol=0.15)
+
+
+def test_cached_spectrum_matches_uncached(psd_op):
+    from laplace_gnn_tpu.curvature import (LanczosApproximateSpectrumCached,
+                                           lanczos_approximate_spectrum)
+    op, M = psd_op
+    key = jax.random.PRNGKey(11)
+    cached = LanczosApproximateSpectrumCached(op, ncv=25, key=key)
+    g1, d1 = cached.approximate_spectrum(num_repeats=2, num_points=256)
+    g2, d2 = lanczos_approximate_spectrum(op, ncv=25, num_points=256,
+                                          num_repeats=2, key=key)
+    np.testing.assert_allclose(g1, g2, rtol=1e-6)
+    np.testing.assert_allclose(d1, d2, rtol=1e-5, atol=1e-8)
+    # cache is reused: more repeats only extends, first iters identical
+    assert len(cached._iters) == 2
+    cached.approximate_spectrum(num_repeats=3, num_points=256)
+    assert len(cached._iters) == 3
+
+
+def test_cached_log_spectrum(psd_op):
+    from laplace_gnn_tpu.curvature import LanczosApproximateLogSpectrumCached
+    op, M = psd_op
+    cached = LanczosApproximateLogSpectrumCached(op, ncv=25,
+                                                 key=jax.random.PRNGKey(12))
+    grid, density = cached.approximate_log_spectrum(num_repeats=2,
+                                                    num_points=256)
+    assert np.all(grid > 0) and np.all(np.isfinite(density))
