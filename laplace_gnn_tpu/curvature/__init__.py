@@ -1,7 +1,10 @@
 from .activation_hessian import ActivationHessianOperator
 from .base import LinearOperator, PyTreeOperator
-from .estimators import (hutchinson_diag, hutchinson_squared_fro,
-                         hutchinson_trace, hutchpp_trace)
+from .estimators import (HutchinsonDiagonalEstimator,
+                         HutchinsonSquaredFrobeniusNormEstimator,
+                         HutchinsonTraceEstimator, HutchPPTraceEstimator,
+                         hutchinson_diag, hutchinson_squared_fro,
+                         hutchinson_trace, hutchpp_trace, random_probes)
 from .inverse import (CGInverseOperator, KFACInverseOperator,
                       LSMRInverseOperator, NeumannInverseOperator, lsmr)
 from .spectrum import (LanczosApproximateLogSpectrumCached,

@@ -65,3 +65,91 @@ def hutchinson_squared_fro(op, n_samples: int = 64, key=None) -> jnp.ndarray:
     V = random_probes(key, (op.shape[1], n_samples), "rademacher", op.dtype)
     AV = op.matmat(V)
     return jnp.mean(jnp.sum(AV * AV, axis=0))
+
+
+class _SampleEstimator:
+    """Incremental estimator base: each ``sample()`` draws one fresh probe
+    (key advanced by a counter), so users can average running samples —
+    the reference's class-based estimator API (curvlinops/trace/
+    hutchinson.py:9, meyer2020hutch.py:12, diagonal/hutchinson.py:9,
+    norm/hutchinson.py:9)."""
+
+    def __init__(self, op, key=None):
+        if len(op.shape) != 2 or op.shape[0] != op.shape[1]:
+            raise ValueError(f"A must be square. Got shape {op.shape}.")
+        self._op = op
+        self._key = key if key is not None else jax.random.PRNGKey(0)
+        self._counter = 0
+
+    def _next_key(self):
+        k = jax.random.fold_in(self._key, self._counter)
+        self._counter += 1
+        return k
+
+
+class HutchinsonTraceEstimator(_SampleEstimator):
+    """One-probe trace samples: a = v^T A v (Hutchinson 1989)."""
+
+    def sample(self, distribution: str = "rademacher") -> jnp.ndarray:
+        v = random_probes(self._next_key(), (self._op.shape[1],),
+                          distribution, self._op.dtype)
+        return jnp.dot(v, self._op.matvec(v))
+
+
+class HutchPPTraceEstimator(_SampleEstimator):
+    """Hutch++ incremental sampling: exact trace on a cached low-rank
+    subspace + Hutchinson samples on the deflated residual
+    (Meyer et al. 2020; curvlinops/trace/meyer2020hutch.py:12)."""
+
+    def __init__(self, op, basis_dim: int | None = None,
+                 basis_distribution: str = "rademacher", key=None):
+        super().__init__(op, key=key)
+        dim = op.shape[1]
+        self._basis_dim = (basis_dim if basis_dim is not None
+                           else min(max(dim // 100, 1), 10))
+        if self._basis_dim > dim:
+            raise ValueError(
+                f"Basis dimension must be at most {dim}. "
+                f"Got {self._basis_dim}.")
+        self._basis_distribution = basis_distribution
+        self._Q = None
+        self._tr_QT_A_Q = None
+
+    def maybe_compute_and_cache_subspace(self) -> None:
+        """Build Q = qr(A S) and tr(Q^T A Q) once, lazily."""
+        if self._Q is not None:
+            return
+        S = random_probes(self._next_key(),
+                          (self._op.shape[1], self._basis_dim),
+                          self._basis_distribution, self._op.dtype)
+        Q, _ = jnp.linalg.qr(self._op.matmat(S))
+        self._Q = Q
+        self._tr_QT_A_Q = jnp.trace(Q.T @ self._op.matmat(Q))
+
+    def sample(self, distribution: str = "rademacher") -> jnp.ndarray:
+        self.maybe_compute_and_cache_subspace()
+        v = random_probes(self._next_key(), (self._op.shape[1],),
+                          distribution, self._op.dtype)
+        v = v - self._Q @ (self._Q.T @ v)
+        return self._tr_QT_A_Q + jnp.dot(v, self._op.matvec(v))
+
+
+class HutchinsonDiagonalEstimator(_SampleEstimator):
+    """One-probe diagonal samples: d = v * (A v)
+    (curvlinops/diagonal/hutchinson.py:9)."""
+
+    def sample(self, distribution: str = "rademacher") -> jnp.ndarray:
+        v = random_probes(self._next_key(), (self._op.shape[1],),
+                          distribution, self._op.dtype)
+        return v * self._op.matvec(v)
+
+
+class HutchinsonSquaredFrobeniusNormEstimator(_SampleEstimator):
+    """One-probe ||A||_F^2 samples: ||A v||^2
+    (curvlinops/norm/hutchinson.py:9)."""
+
+    def sample(self, distribution: str = "rademacher") -> jnp.ndarray:
+        v = random_probes(self._next_key(), (self._op.shape[1],),
+                          distribution, self._op.dtype)
+        Av = self._op.matvec(v)
+        return jnp.dot(Av, Av)

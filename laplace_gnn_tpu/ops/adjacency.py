@@ -144,3 +144,9 @@ def sample_neigh_adj(key, adj: jnp.ndarray, k: int | None) -> jnp.ndarray:
     kth = jax.lax.top_k(scores, k)[0][:, -1:]  # k-th largest per row
     keep = (scores >= kth) & (adj > 0)
     return keep.astype(adj.dtype)
+
+
+def preprocess_adj(adj: jnp.ndarray) -> jnp.ndarray:
+    """Self-loops + symmetric degree normalization in one call
+    (reference gnn/utils.py:379-384)."""
+    return normalize_adj(adj + jnp.eye(adj.shape[0], dtype=adj.dtype))

@@ -1,4 +1,4 @@
-from .pytree import (DEFAULT_EXCLUDE, merge_split, named_leaves, path_mask,
+from .pytree import (DEFAULT_EXCLUDE, merge_split, named_leaves, parameters_per_layer, path_mask,
                      posterior_mask, split_by_mask, tree_add, tree_dot,
                      tree_random_normal, tree_scale, tree_size,
                      tree_unflattener, tree_vector, tree_zeros_like)

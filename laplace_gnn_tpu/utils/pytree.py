@@ -145,3 +145,10 @@ def named_leaves(params: Any) -> list[tuple[str, jnp.ndarray]]:
 
     jax.tree_util.tree_map_with_path(visit, params)
     return out
+
+
+def parameters_per_layer(params: Any) -> list[int]:
+    """Number of parameters per leaf, in flatten order
+    (reference laplace/utils/utils.py:104-117)."""
+    import numpy as np
+    return [int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params)]

@@ -266,3 +266,39 @@ def test_cached_log_spectrum(psd_op):
     grid, density = cached.approximate_log_spectrum(num_repeats=2,
                                                     num_points=256)
     assert np.all(grid > 0) and np.all(np.isfinite(density))
+
+
+def test_incremental_estimators(psd_op):
+    from laplace_gnn_tpu.curvature import (
+        HutchinsonDiagonalEstimator, HutchinsonSquaredFrobeniusNormEstimator,
+        HutchinsonTraceEstimator, HutchPPTraceEstimator)
+    op, M = psd_op
+    tr_true = float(jnp.trace(M))
+
+    est = HutchinsonTraceEstimator(op, key=jax.random.PRNGKey(0))
+    samples = [float(est.sample()) for _ in range(800)]
+    np.testing.assert_allclose(np.mean(samples), tr_true, rtol=0.05)
+
+    hpp = HutchPPTraceEstimator(op, basis_dim=10, key=jax.random.PRNGKey(1))
+    samples = [float(hpp.sample()) for _ in range(100)]
+    np.testing.assert_allclose(np.mean(samples), tr_true, rtol=0.05)
+    # subspace cached once
+    Q_id = id(hpp._Q)
+    hpp.sample()
+    assert id(hpp._Q) == Q_id
+
+    dest = HutchinsonDiagonalEstimator(op, key=jax.random.PRNGKey(2))
+    d = np.mean([np.asarray(dest.sample()) for _ in range(3000)], axis=0)
+    np.testing.assert_allclose(d, np.asarray(jnp.diag(M)), rtol=0.3,
+                               atol=0.5)
+
+    fest = HutchinsonSquaredFrobeniusNormEstimator(
+        op, key=jax.random.PRNGKey(3))
+    f = np.mean([float(fest.sample()) for _ in range(800)])
+    np.testing.assert_allclose(f, float(jnp.sum(M * M)), rtol=0.05)
+
+    # non-square rejected
+    class Rect(type(op).__bases__[0] if False else object):
+        shape = (3, 4)
+    with pytest.raises(ValueError):
+        HutchinsonTraceEstimator(Rect())
