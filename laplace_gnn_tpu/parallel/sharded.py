@@ -132,3 +132,145 @@ def make_sharded_sparse_aggregate(mesh: Mesh, graph, d_features: int):
         return jax.device_put(x, spec)
 
     return aggregate_fn, put
+
+
+# ---------------------------------------------------------------------------
+# Halo exchange: the all_gather above moves the FULL (N, d) feature matrix
+# to every device. With contiguous node blocks (especially after
+# parallel.rcm_order) each device only needs the *boundary* rows referenced
+# by its owned edges — the halo. Exchange exactly those rows with one
+# all_to_all over ICI, and issue it BEFORE the local-edge aggregation so
+# XLA's latency-hiding scheduler overlaps the collective with the
+# independent local segment-sum.
+# ---------------------------------------------------------------------------
+
+def build_halo_exchange(graph, n_parts: int):
+    """Host-side halo plan for contiguous node-block partitions.
+
+    For each device p (owner of node block [p*B, (p+1)*B)):
+      - local edges: both endpoints in block p;
+      - remote edges: dst in block p, src owned by q != p.
+    ``needed[p][q]`` = sorted unique remote sources p must receive from q.
+    All lists are padded to the fleet-wide maximum H so the exchange is one
+    static-shape all_to_all of (n_parts, H, d) per device.
+
+    Returns a dict of device-stacked arrays:
+      send_idx (n_parts, n_parts, H)  local row q sends to slot (p, k)
+      src_l/dst_l/w_l (n_parts, EL)   local edges, dst block-local
+      src_r/dst_r/w_r (n_parts, ER)   remote edges, src = flat halo index
+      block, H
+    """
+    import numpy as np
+
+    n = graph.n_nodes
+    if n % n_parts != 0:
+        raise ValueError(f"n_nodes={n} must divide by n_parts={n_parts} "
+                         "(pad the graph first)")
+    block = n // n_parts
+    src = np.asarray(graph.src)
+    dst = np.asarray(graph.dst)
+    w = np.asarray(graph.weights)
+    o_src = src // block
+    o_dst = dst // block
+
+    needed = [[np.unique(src[(o_dst == p) & (o_src == q)])
+               for q in range(n_parts)] for p in range(n_parts)]
+    H = max(1, max(len(needed[p][q])
+                   for p in range(n_parts) for q in range(n_parts)
+                   if p != q))
+
+    send_idx = np.zeros((n_parts, n_parts, H), np.int32)
+    for p in range(n_parts):
+        for q in range(n_parts):
+            if p == q:
+                continue
+            rows = needed[p][q] - q * block   # local rows on sender q
+            send_idx[q, p, :len(rows)] = rows
+
+    el = [((o_dst == p) & (o_src == p)).sum() for p in range(n_parts)]
+    er = [((o_dst == p) & (o_src != p)).sum() for p in range(n_parts)]
+    EL, ER = max(1, int(max(el))), max(1, int(max(er)))
+    src_l = np.zeros((n_parts, EL), np.int32)
+    dst_l = np.zeros((n_parts, EL), np.int32)
+    w_l = np.zeros((n_parts, EL), w.dtype)
+    src_r = np.zeros((n_parts, ER), np.int32)
+    dst_r = np.zeros((n_parts, ER), np.int32)
+    w_r = np.zeros((n_parts, ER), w.dtype)
+    for p in range(n_parts):
+        m = (o_dst == p) & (o_src == p)
+        k = int(m.sum())
+        src_l[p, :k] = src[m] - p * block
+        dst_l[p, :k] = dst[m] - p * block
+        w_l[p, :k] = w[m]
+        m = (o_dst == p) & (o_src != p)
+        k = int(m.sum())
+        # remote src -> flat halo-table index q*H + position within needed
+        sq = o_src[m]
+        pos = np.empty(k, np.int64)
+        for q in range(n_parts):
+            mq = sq == q
+            if mq.any():
+                pos[mq] = np.searchsorted(needed[p][q], src[m][mq])
+        src_r[p, :k] = sq * H + pos
+        dst_r[p, :k] = dst[m] - p * block
+        w_r[p, :k] = w[m]
+    return {"send_idx": send_idx, "src_l": src_l, "dst_l": dst_l,
+            "w_l": w_l, "src_r": src_r, "dst_r": dst_r, "w_r": w_r,
+            "block": block, "H": H}
+
+
+def make_halo_sparse_aggregate(mesh: Mesh, graph, d_features: int):
+    """Edge-partitioned SpMM with halo exchange under shard_map.
+
+    Per device and per application, moves n_parts*H*d halo rows over ICI
+    instead of the full N*d all_gather (``make_sharded_sparse_aggregate``);
+    with RCM-ordered graphs H is a small fraction of the block size. The
+    all_to_all is issued before the local-edge segment-sum so the
+    collective overlaps with independent compute. Differentiable: the
+    cotangent path is the transposed exchange (autodiff of all_to_all /
+    segment_sum), so GGN mat-vecs reuse it.
+
+    Returns (aggregate_fn, put, stats) — stats reports the comm volume
+    ratio vs the all_gather path.
+    """
+    n_parts = mesh.shape["graph"]
+    plan = build_halo_exchange(graph, n_parts)
+    block, H = plan["block"], plan["H"]
+
+    def local(send_idx_b, src_l, dst_l, w_l, src_r, dst_r, w_r, x_blk):
+        # send_idx_b: (1, n_parts, H); x_blk: (block, d)
+        buf = x_blk[send_idx_b[0]]                      # (n_parts, H, d)
+        halo = jax.lax.all_to_all(buf, "graph", split_axis=0,
+                                  concat_axis=0, tiled=False)
+        # independent local work — overlaps with the collective
+        out = jax.ops.segment_sum(w_l[0][:, None] * x_blk[src_l[0]],
+                                  dst_l[0], num_segments=block)
+        halo_flat = halo.reshape(n_parts * H, -1)
+        out = out + jax.ops.segment_sum(
+            w_r[0][:, None] * halo_flat[src_r[0]], dst_r[0],
+            num_segments=block)
+        return out
+
+    sharded = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P("graph",), P("graph",), P("graph",), P("graph",),
+                  P("graph",), P("graph",), P("graph",), P("graph", None)),
+        out_specs=P("graph", None))
+
+    spec = NamedSharding(mesh, P("graph", None))
+    dev = {k: jax.device_put(jnp.asarray(v), spec)
+           for k, v in plan.items() if k not in ("block", "H")}
+
+    def aggregate_fn(x):
+        return sharded(dev["send_idx"], dev["src_l"], dev["dst_l"],
+                       dev["w_l"], dev["src_r"], dev["dst_r"], dev["w_r"], x)
+
+    def put(x):
+        return jax.device_put(x, spec)
+
+    stats = {
+        "halo_rows_per_device": n_parts * H,
+        "allgather_rows_per_device": graph.n_nodes,
+        "comm_volume_ratio": (n_parts * H) / graph.n_nodes,
+    }
+    return aggregate_fn, put, stats
