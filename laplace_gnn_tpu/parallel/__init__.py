@@ -2,6 +2,7 @@ from .mesh import graph_sharding, make_mesh, replicated, shard_gnn_params
 from .partition import (HaloPlan, Partition, apply_node_order, bandwidth,
                         build_halo_plan, degree_balanced_partition,
                         partition_efficiency, rcm_order)
-from .sharded import (build_halo_exchange, make_halo_sparse_aggregate,
+from .sharded import (HaloAggGraph, build_halo_exchange,
+                      make_halo_sparse_aggregate,
                       make_sharded_sparse_aggregate, make_sharded_train_step,
                       partition_sparse_graph, sharded_aggregate)

@@ -274,3 +274,20 @@ def make_halo_sparse_aggregate(mesh: Mesh, graph, d_features: int):
         "comm_volume_ratio": (n_parts * H) / graph.n_nodes,
     }
     return aggregate_fn, put, stats
+
+
+class HaloAggGraph:
+    """Duck-typed stand-in for SparseGraph/FastAggGraph inside the sparse
+    models (SparseGCN/SAGE/GAT take any graph with ``.spmm``): aggregation
+    runs edge-partitioned over the mesh's 'graph' axis with halo exchange.
+    Construct the model with ``HaloAggGraph(mesh, g)`` and the whole
+    training step — forward, backward, KFAC taps — is sharded; everything
+    composes because the exchange is an ordinary differentiable jit region.
+    """
+
+    def __init__(self, mesh: Mesh, graph, d_features: int = 0):
+        self.graph = graph
+        self.n_nodes = graph.n_nodes
+        self.shape = (graph.n_nodes, graph.n_nodes)
+        self.spmm, self.put, self.stats = make_halo_sparse_aggregate(
+            mesh, graph, d_features)

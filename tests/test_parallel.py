@@ -246,3 +246,55 @@ def test_halo_exchange_volume_shrinks_with_rcm():
     h_band = build_halo_exchange(g_band, 4)["H"]
     h_shuf = build_halo_exchange(g_shuf, 4)["H"]
     assert h_band * 3 < h_shuf, (h_band, h_shuf)
+
+
+def test_halo_agg_graph_sharded_sparse_gcn_end_to_end():
+    # The full distributed story: SparseGCN over HaloAggGraph matches the
+    # single-device model for forward, gradients, and the differentiable
+    # KFAC marglik (the structure-learning hyperstep path).
+    from jax.sharding import NamedSharding
+    from laplace_gnn_tpu.curvature.losses import cross_entropy_sum
+    from laplace_gnn_tpu.graph.container import sparse_from_edge_index
+    from laplace_gnn_tpu.models import SparseGCN
+    from laplace_gnn_tpu.parallel import HaloAggGraph, make_mesh
+    from laplace_gnn_tpu.training.marglik_gnn import make_neg_marglik_fn
+
+    rng = np.random.default_rng(3)
+    n, d, h, c = 64, 16, 8, 4
+    adj = (rng.random((n, n)) < 0.15)
+    adj = np.minimum(adj + adj.T, 1).astype(float)
+    np.fill_diagonal(adj, 0)
+    rows, cols = np.nonzero(adj)
+    g = sparse_from_edge_index(np.stack([cols, rows]), n, normalize="sym")
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    y = jnp.asarray(rng.integers(0, c, n))
+
+    mesh = make_mesh(8, model_parallel=2)
+    hg = HaloAggGraph(mesh, g)
+    Xs = jax.device_put(jnp.asarray(X), NamedSharding(mesh, P("graph", None)))
+    m_sh = SparseGCN(d, h, c, 2, Xs, hg, dropout_p=0.0)
+    m_ref = SparseGCN(d, h, c, 2, jnp.asarray(X), g, dropout_p=0.0)
+    params = m_ref.init(jax.random.PRNGKey(0))
+    idx = jnp.arange(n)
+
+    f_sh = jax.jit(lambda p: m_sh.apply(p, idx))(params)
+    np.testing.assert_allclose(np.asarray(f_sh),
+                               np.asarray(m_ref.apply(params, idx)),
+                               atol=1e-6)
+
+    def loss(p, model):
+        return cross_entropy_sum(model.apply(p, idx), y) / n
+
+    g_sh = jax.jit(jax.grad(lambda p: loss(p, m_sh)))(params)
+    g_ref = jax.grad(lambda p: loss(p, m_ref))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_sh),
+                    jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+    nm_fn = make_neg_marglik_fn(m_sh, "classification", "kron", "all", N=n)
+    nm, gm = jax.jit(jax.value_and_grad(nm_fn))(params, idx, y)
+    nm_ref = make_neg_marglik_fn(m_ref, "classification", "kron", "all",
+                                 N=n)(params, idx, y)
+    np.testing.assert_allclose(float(nm), float(nm_ref), rtol=1e-6)
+    assert all(np.isfinite(np.asarray(l)).all()
+               for l in jax.tree_util.tree_leaves(gm))
