@@ -29,6 +29,17 @@ class CGInverseOperator(LinearOperator):
         self.maxiter = maxiter or op.shape[0]
         self.damping = damping
 
+    def set_cg_hyperparameters(self, tol: Optional[float] = None,
+                               maxiter: Optional[int] = None,
+                               damping: Optional[float] = None) -> None:
+        """(reference CGInverseLinearOperator.set_cg_hyperparameters)"""
+        if tol is not None:
+            self.tol = tol
+        if maxiter is not None:
+            self.maxiter = maxiter
+        if damping is not None:
+            self.damping = damping
+
     def matvec(self, v):
         mv = (self.op.matvec if self.damping == 0
               else lambda x: self.op.matvec(x) + self.damping * x)
@@ -107,10 +118,31 @@ class LSMRInverseOperator(LinearOperator):
         self.atol = atol
         self.maxiter = maxiter or 4 * max(op.shape)
 
+    def set_lsmr_hyperparameters(self, damp: Optional[float] = None,
+                                 atol: Optional[float] = None,
+                                 maxiter: Optional[int] = None) -> None:
+        """(reference LSMRInverseLinearOperator.set_lsmr_hyperparameters)"""
+        if damp is not None:
+            self.damp = damp
+        if atol is not None:
+            self.atol = atol
+        if maxiter is not None:
+            self.maxiter = maxiter
+
     def matvec(self, v):
         x, _ = lsmr(self.op.matvec, self.op.rmatvec, v, damp=self.damp,
                     atol=self.atol, maxiter=self.maxiter)
         return x
+
+    def matvec_with_info(self, v):
+        """Solution plus solver diagnostics (reference
+        LSMRInverseLinearOperator.matvec_with_info): returns
+        (x, {"iterations": k, "residual_norm": ||Ax - v||})."""
+        x, k = lsmr(self.op.matvec, self.op.rmatvec, v, damp=self.damp,
+                    atol=self.atol, maxiter=self.maxiter)
+        r = self.op.matvec(x) - v
+        return x, {"iterations": int(k),
+                   "residual_norm": float(jnp.linalg.norm(r))}
 
 
 class NeumannInverseOperator(LinearOperator):
@@ -124,6 +156,18 @@ class NeumannInverseOperator(LinearOperator):
         self.num_terms = num_terms
         self.scale = scale
         self.check_nan = check_nan
+
+    def set_neumann_hyperparameters(self, num_terms: Optional[int] = None,
+                                    scale: Optional[float] = None,
+                                    check_nan: Optional[bool] = None) -> None:
+        """(reference NeumannInverseLinearOperator
+        .set_neumann_hyperparameters)"""
+        if num_terms is not None:
+            self.num_terms = num_terms
+        if scale is not None:
+            self.scale = scale
+        if check_nan is not None:
+            self.check_nan = check_nan
 
     def matvec(self, v):
         result, term = v, v
@@ -224,3 +268,29 @@ class KFACInverseOperator:
                 out.append(Wp.ravel())
                 cur += po * pi
         return jnp.concatenate(out)
+
+    def state_dict(self) -> dict:
+        """Serializable state (reference KFACInverseLinearOperator
+        .state_dict, curvlinops/inverse.py): the source Kron factors plus
+        damping configuration; the inverse cache is rebuilt on load."""
+        import numpy as np
+        return {
+            "kfacs": [[np.asarray(f) for f in group]
+                      for group in self.kron.kfacs],
+            "damping": self.damping,
+            "damping_method": self.damping_method,
+        }
+
+    @classmethod
+    def from_state_dict(cls, state: dict) -> "KFACInverseOperator":
+        kron = Kron([[jnp.asarray(f) for f in group]
+                     for group in state["kfacs"]])
+        return cls(kron, damping=state["damping"],
+                   damping_method=state["damping_method"])
+
+    def load_state_dict(self, state: dict) -> None:
+        new = self.from_state_dict(state)
+        self.kron = new.kron
+        self.damping = new.damping
+        self.damping_method = new.damping_method
+        self._cache = new._cache

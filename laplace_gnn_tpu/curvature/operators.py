@@ -237,6 +237,13 @@ class SubmatrixOperator(LinearOperator):
         self.col_idx = jnp.asarray(col_idx)
         super().__init__((len(row_idx), len(col_idx)), op.dtype)
 
+    def set_submatrix(self, row_idx, col_idx) -> None:
+        """Re-target the view (reference SubmatrixLinearOperator
+        .set_submatrix, curvlinops/submatrix.py)."""
+        self.row_idx = jnp.asarray(row_idx)
+        self.col_idx = jnp.asarray(col_idx)
+        self.shape = (len(row_idx), len(col_idx))
+
     def matvec(self, v):
         full = jnp.zeros((self.op.shape[1],), self.dtype)
         full = full.at[self.col_idx].set(v)

@@ -302,3 +302,64 @@ def test_incremental_estimators(psd_op):
         shape = (3, 4)
     with pytest.raises(ValueError):
         HutchinsonTraceEstimator(Rect())
+
+
+def test_inverse_hyperparameter_setters_and_info(psd_op):
+    from laplace_gnn_tpu.curvature import (CGInverseOperator,
+                                           LSMRInverseOperator,
+                                           NeumannInverseOperator)
+    op, M = psd_op
+    v = jax.random.normal(jax.random.PRNGKey(7), (30,))
+
+    cg = CGInverseOperator(op, tol=1e-1)
+    cg.set_cg_hyperparameters(tol=1e-10, maxiter=200)
+    np.testing.assert_allclose(np.asarray(M @ cg.matvec(v)), np.asarray(v),
+                               atol=1e-6)
+
+    ls = LSMRInverseOperator(op, atol=1e-10, maxiter=500)
+    x, info = ls.matvec_with_info(v)
+    assert info["iterations"] > 0 and info["residual_norm"] < 1e-4
+    ls.set_lsmr_hyperparameters(maxiter=1)
+    _, info1 = ls.matvec_with_info(v)
+    assert info1["iterations"] == 1
+
+    lmax = float(jnp.linalg.eigvalsh(M).max())
+    ne = NeumannInverseOperator(op, num_terms=1, scale=1.0 / lmax)
+    ne.set_neumann_hyperparameters(num_terms=3000)
+    np.testing.assert_allclose(np.asarray(M @ ne.matvec(v)), np.asarray(v),
+                               atol=1e-4)
+
+
+def test_kfac_inverse_state_dict_roundtrip():
+    from laplace_gnn_tpu.curvature import (KFACInverseOperator,
+                                           compute_kfac_factors)
+    model = MLP([3, 4, 2], act="tanh")
+    params = model.init(jax.random.PRNGKey(0))
+    X = jax.random.normal(jax.random.PRNGKey(1), (6, 3))
+    y = jax.random.randint(jax.random.PRNGKey(2), (6,), 0, 2)
+    kron = compute_kfac_factors(model, params, X, y, "classification", N=6)
+    inv = KFACInverseOperator(kron, damping=0.1, damping_method="exact")
+    P = int(sum(np.prod(np.asarray(f).shape[:1]) if len(g) == 1
+                else np.asarray(g[0]).shape[0] * np.asarray(g[1]).shape[0]
+                for g in kron.kfacs for f in g[:1]))
+    v = jax.random.normal(jax.random.PRNGKey(3), (P,))
+    back = KFACInverseOperator.from_state_dict(inv.state_dict())
+    np.testing.assert_allclose(np.asarray(inv.matvec(v)),
+                               np.asarray(back.matvec(v)), rtol=1e-12)
+    other = KFACInverseOperator(kron, damping=9.0)
+    other.load_state_dict(inv.state_dict())
+    np.testing.assert_allclose(np.asarray(inv.matvec(v)),
+                               np.asarray(other.matvec(v)), rtol=1e-12)
+
+
+def test_submatrix_set_submatrix(psd_op):
+    from laplace_gnn_tpu.curvature.operators import SubmatrixOperator
+    op, M = psd_op
+    sub = SubmatrixOperator(op, jnp.arange(5), jnp.arange(5))
+    v = jax.random.normal(jax.random.PRNGKey(8), (5,))
+    np.testing.assert_allclose(np.asarray(sub.matvec(v)),
+                               np.asarray(M[:5, :5] @ v), rtol=1e-10)
+    sub.set_submatrix(jnp.arange(10, 20), jnp.arange(5, 10))
+    assert sub.shape == (10, 5)
+    np.testing.assert_allclose(np.asarray(sub.matvec(v)),
+                               np.asarray(M[10:20, 5:10] @ v), rtol=1e-10)
