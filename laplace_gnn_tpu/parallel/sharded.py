@@ -276,6 +276,136 @@ def make_halo_sparse_aggregate(mesh: Mesh, graph, d_features: int):
     return aggregate_fn, put, stats
 
 
+def build_ring_halo_exchange(graph, n_parts: int):
+    """Ring-schedule halo plan: per hop distance s, device q sends to
+    p = (q + s) mod n_parts. Buffers are padded per-shift (H_s = max over
+    devices of the rows needed at that distance), not to the global
+    worst-case pair — on locality-ordered graphs (rcm_order) only the
+    s = 1 and s = n_parts-1 hops carry real rows, so the exchanged volume
+    collapses to the true boundary instead of n_parts * max-pair.
+
+    Returns arrays like :func:`build_halo_exchange` plus per-shift
+    send-index lists; remote srcs index the concatenated per-shift halo
+    table (offsets = cumsum of H_s).
+    """
+    import numpy as np
+
+    n = graph.n_nodes
+    if n % n_parts != 0:
+        raise ValueError(f"n_nodes={n} must divide by n_parts={n_parts} "
+                         "(pad the graph first)")
+    block = n // n_parts
+    src = np.asarray(graph.src)
+    dst = np.asarray(graph.dst)
+    w = np.asarray(graph.weights)
+    o_src = src // block
+    o_dst = dst // block
+
+    needed = [[np.unique(src[(o_dst == p) & (o_src == q)])
+               for q in range(n_parts)] for p in range(n_parts)]
+    # per-shift widths: at shift s, receiver p gets from q = (p - s) mod n
+    H_s = [max(1, max(len(needed[p][(p - s) % n_parts])
+                      for p in range(n_parts)))
+           for s in range(1, n_parts)]
+    offsets_s = np.concatenate([[0], np.cumsum(H_s)])  # into the halo table
+
+    send_idx = []   # one (n_parts, H_s) array per shift: rows q sends
+    for s in range(1, n_parts):
+        si = np.zeros((n_parts, H_s[s - 1]), np.int32)
+        for q in range(n_parts):
+            p = (q + s) % n_parts
+            rows = needed[p][q] - q * block
+            si[q, :len(rows)] = rows
+        send_idx.append(si)
+
+    el = [((o_dst == p) & (o_src == p)).sum() for p in range(n_parts)]
+    er = [((o_dst == p) & (o_src != p)).sum() for p in range(n_parts)]
+    EL, ER = max(1, int(max(el))), max(1, int(max(er)))
+    src_l = np.zeros((n_parts, EL), np.int32)
+    dst_l = np.zeros((n_parts, EL), np.int32)
+    w_l = np.zeros((n_parts, EL), w.dtype)
+    src_r = np.zeros((n_parts, ER), np.int32)
+    dst_r = np.zeros((n_parts, ER), np.int32)
+    w_r = np.zeros((n_parts, ER), w.dtype)
+    for p in range(n_parts):
+        m = (o_dst == p) & (o_src == p)
+        k = int(m.sum())
+        src_l[p, :k] = src[m] - p * block
+        dst_l[p, :k] = dst[m] - p * block
+        w_l[p, :k] = w[m]
+        m = (o_dst == p) & (o_src != p)
+        k = int(m.sum())
+        sq = o_src[m]
+        pos = np.empty(k, np.int64)
+        for q in range(n_parts):
+            mq = sq == q
+            if mq.any():
+                s = (p - q) % n_parts
+                pos[mq] = (offsets_s[s - 1]
+                           + np.searchsorted(needed[p][q], src[m][mq]))
+        src_r[p, :k] = pos
+        dst_r[p, :k] = dst[m] - p * block
+        w_r[p, :k] = w[m]
+    return {"send_idx": send_idx, "H_s": H_s, "src_l": src_l,
+            "dst_l": dst_l, "w_l": w_l, "src_r": src_r, "dst_r": dst_r,
+            "w_r": w_r, "block": block}
+
+
+def make_ring_halo_sparse_aggregate(mesh: Mesh, graph, d_features: int = 0):
+    """Edge-partitioned SpMM whose halo rides n_parts-1 ``ppermute`` hops
+    with per-shift buffer sizes — the ICI-ring formulation of
+    :func:`make_halo_sparse_aggregate`. All hops are issued before the
+    local-edge segment-sum, so they overlap with independent compute (and
+    with each other: each hop uses a disjoint buffer)."""
+    n_parts = mesh.shape["graph"]
+    plan = build_ring_halo_exchange(graph, n_parts)
+    block = plan["block"]
+
+    def local(src_l, dst_l, w_l, src_r, dst_r, w_r, x_blk, *send_idx):
+        halos = []
+        for s, si in enumerate(send_idx, start=1):
+            buf = x_blk[si[0]]                        # (H_s, d)
+            perm = [(q, (q + s) % n_parts) for q in range(n_parts)]
+            halos.append(jax.lax.ppermute(buf, "graph", perm))
+        out = jax.ops.segment_sum(w_l[0][:, None] * x_blk[src_l[0]],
+                                  dst_l[0], num_segments=block)
+        halo_flat = jnp.concatenate(halos, axis=0)
+        return out + jax.ops.segment_sum(
+            w_r[0][:, None] * halo_flat[src_r[0]], dst_r[0],
+            num_segments=block)
+
+    n_shifts = n_parts - 1
+    sharded = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P("graph",), P("graph",), P("graph",), P("graph",),
+                  P("graph",), P("graph",), P("graph", None))
+        + (P("graph",),) * n_shifts,
+        out_specs=P("graph", None))
+
+    spec = NamedSharding(mesh, P("graph", None))
+    dev = {k: jax.device_put(jnp.asarray(v), spec)
+           for k, v in plan.items()
+           if k in ("src_l", "dst_l", "w_l", "src_r", "dst_r", "w_r")}
+    send_dev = tuple(jax.device_put(jnp.asarray(si), spec)
+                     for si in plan["send_idx"])
+
+    def aggregate_fn(x):
+        return sharded(dev["src_l"], dev["dst_l"], dev["w_l"],
+                       dev["src_r"], dev["dst_r"], dev["w_r"], x, *send_dev)
+
+    def put(x):
+        return jax.device_put(x, spec)
+
+    total_halo = int(sum(plan["H_s"]))
+    stats = {
+        "halo_rows_per_device": total_halo,
+        "allgather_rows_per_device": graph.n_nodes,
+        "comm_volume_ratio": total_halo / graph.n_nodes,
+        "H_s": plan["H_s"],
+    }
+    return aggregate_fn, put, stats
+
+
 class HaloAggGraph:
     """Duck-typed stand-in for SparseGraph/FastAggGraph inside the sparse
     models (SparseGCN/SAGE/GAT take any graph with ``.spmm``): aggregation
@@ -285,9 +415,22 @@ class HaloAggGraph:
     composes because the exchange is an ordinary differentiable jit region.
     """
 
-    def __init__(self, mesh: Mesh, graph, d_features: int = 0):
+    def __init__(self, mesh: Mesh, graph, d_features: int = 0,
+                 schedule: str = "auto"):
         self.graph = graph
         self.n_nodes = graph.n_nodes
         self.shape = (graph.n_nodes, graph.n_nodes)
-        self.spmm, self.put, self.stats = make_halo_sparse_aggregate(
-            mesh, graph, d_features)
+        if schedule not in ("auto", "alltoall", "ring"):
+            raise ValueError(f"Unknown halo schedule {schedule!r}")
+        if schedule == "auto":
+            # ring's per-shift padding is never larger in volume; prefer the
+            # single fused all_to_all only when traffic is near-uniform
+            # (ring saves <20%), where one collective beats n-1 permutes.
+            n_parts = mesh.shape["graph"]
+            ring_rows = sum(build_ring_halo_exchange(graph, n_parts)["H_s"])
+            a2a_rows = n_parts * build_halo_exchange(graph, n_parts)["H"]
+            schedule = "ring" if ring_rows < 0.8 * a2a_rows else "alltoall"
+        self.schedule = schedule
+        maker = (make_ring_halo_sparse_aggregate if schedule == "ring"
+                 else make_halo_sparse_aggregate)
+        self.spmm, self.put, self.stats = maker(mesh, graph, d_features)

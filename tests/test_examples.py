@@ -56,3 +56,13 @@ def test_predictive_samples():
     gp.fit(ArrayLoader(X, y))
     s3 = gp.predictive_samples(X, n_samples=5)
     assert s3.shape == (5, 10, 2)
+
+
+def test_distributed_marglik(capsys):
+    jax = pytest.importorskip("jax")
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh conftest")
+    run_example("05_distributed_marglik.py")
+    out = capsys.readouterr().out
+    assert "distributed marglik pipeline OK" in out
+    assert "schedule=ring" in out

@@ -298,3 +298,74 @@ def test_halo_agg_graph_sharded_sparse_gcn_end_to_end():
     np.testing.assert_allclose(float(nm), float(nm_ref), rtol=1e-6)
     assert all(np.isfinite(np.asarray(l)).all()
                for l in jax.tree_util.tree_leaves(gm))
+
+
+def test_ring_halo_aggregate_matches_dense_and_shrinks_volume():
+    from laplace_gnn_tpu.graph.container import sparse_from_edge_index
+    from laplace_gnn_tpu.parallel.sharded import (
+        build_halo_exchange, build_ring_halo_exchange,
+        make_ring_halo_sparse_aggregate)
+    rng = np.random.default_rng(4)
+    n, d = 64, 16
+    adj = (rng.random((n, n)) < 0.15).astype(float)
+    adj = np.minimum(adj + adj.T, 1)
+    np.fill_diagonal(adj, 0)
+    rows, cols = np.nonzero(adj)
+    g = sparse_from_edge_index(np.stack([cols, rows]), n, normalize="sym")
+    mesh = make_mesh(8, model_parallel=2)
+    agg, put, stats = make_ring_halo_sparse_aggregate(mesh, g, d)
+    x = jnp.asarray(rng.standard_normal((n, d)))
+    out = jax.jit(agg)(put(x))
+    ref = np.asarray(g.to_dense()) @ np.asarray(x)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-6)
+    gx = jax.grad(lambda x: jnp.sum(agg(x) ** 2))(put(x))
+    np.testing.assert_allclose(
+        np.asarray(gx),
+        np.asarray(2 * g.to_dense().T @ (g.to_dense() @ x)), atol=1e-6)
+    # per-shift padding never exceeds the uniform all_to_all padding
+    n_parts = mesh.shape["graph"]
+    ring_rows = sum(build_ring_halo_exchange(g, n_parts)["H_s"])
+    a2a_rows = n_parts * build_halo_exchange(g, n_parts)["H"]
+    assert ring_rows <= a2a_rows
+
+
+def test_ring_halo_concentrates_on_banded_graph():
+    # after RCM-style ordering, halo traffic sits at hop distance 1 (and
+    # the wrap-around n-1); interior hops carry only the 1-row padding
+    from laplace_gnn_tpu.graph.container import sparse_from_edge_index
+    from laplace_gnn_tpu.parallel.sharded import build_ring_halo_exchange
+    n = 128
+    rows, cols = [], []
+    for i in range(n - 3):
+        for off in (1, 2, 3):
+            j = i + off
+            rows += [i, j]
+            cols += [j, i]
+    ei = np.stack([np.array(cols), np.array(rows)])
+    g = sparse_from_edge_index(ei, n, normalize=None, add_self_loops=False)
+    plan = build_ring_halo_exchange(g, 4)
+    H_s = plan["H_s"]
+    assert H_s[0] > 1 and H_s[-1] > 1     # hops +-1
+    assert all(h == 1 for h in H_s[1:-1])  # interior = padding only
+
+
+def test_halo_agg_graph_auto_schedule():
+    from laplace_gnn_tpu.graph.container import sparse_from_edge_index
+    from laplace_gnn_tpu.parallel import HaloAggGraph
+    n = 128
+    rows, cols = [], []
+    for i in range(n - 3):
+        for off in (1, 2, 3):
+            rows += [i, i + off]
+            cols += [i + off, i]
+    ei = np.stack([np.array(cols), np.array(rows)])
+    g = sparse_from_edge_index(ei, n, normalize="sym")
+    mesh = make_mesh(8, model_parallel=1)
+    hg = HaloAggGraph(mesh, g)            # banded -> ring wins
+    assert hg.schedule == "ring"
+    x = jnp.asarray(np.random.default_rng(5).standard_normal((n, 8)),
+                    jnp.float32)
+    np.testing.assert_allclose(np.asarray(jax.jit(hg.spmm)(hg.put(x))),
+                               np.asarray(g.spmm(x)), atol=1e-5)
+    with pytest.raises(ValueError, match="schedule"):
+        HaloAggGraph(mesh, g, schedule="bogus")
