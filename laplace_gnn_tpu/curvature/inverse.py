@@ -137,12 +137,16 @@ class LSMRInverseOperator(LinearOperator):
     def matvec_with_info(self, v):
         """Solution plus solver diagnostics (reference
         LSMRInverseLinearOperator.matvec_with_info): returns
-        (x, {"iterations": k, "residual_norm": ||Ax - v||})."""
+        (x, {"iterations": k, "residual_norm": normr}) where normr is the
+        *damped* residual sqrt(||Ax - v||^2 + damp^2 ||x||^2) — what LSMR
+        minimizes (matching scipy's lsmr normr), so convergence checks do
+        not misread the regularization floor as non-convergence."""
         x, k = lsmr(self.op.matvec, self.op.rmatvec, v, damp=self.damp,
                     atol=self.atol, maxiter=self.maxiter)
         r = self.op.matvec(x) - v
+        normr = jnp.sqrt(jnp.sum(r * r) + self.damp ** 2 * jnp.sum(x * x))
         return x, {"iterations": int(k),
-                   "residual_norm": float(jnp.linalg.norm(r))}
+                   "residual_norm": float(normr)}
 
 
 class NeumannInverseOperator(LinearOperator):

@@ -100,28 +100,50 @@ def fast_lanczos(op, ncv: int, key=None, use_scan: bool = True):
     return jnp.linalg.eigh(T)
 
 
+def _boundary_ncv(tol: float, dim: int, ncv) -> int:
+    """Lanczos depth from the requested relative accuracy: extreme Ritz
+    values converge geometrically, so ~2/sqrt(tol) iterations suffice for
+    well-separated extremes (tol=1e-2 -> 20). An explicit ``ncv`` wins."""
+    if ncv is not None:
+        return min(ncv, dim)
+    if tol <= 0:
+        return min(128, dim)
+    import math
+    return min(dim, max(8, int(math.ceil(2.0 / math.sqrt(tol)))))
+
+
 def approximate_boundaries(op, tol: float = 1e-2, boundaries=None, key=None,
-                           ncv: int = 32):
+                           ncv: Optional[int] = None):
     """Estimate (lambda_min, lambda_max) of a symmetric operator
     (reference spectrum.py:425-458; scipy eigsh replaced by TPU-native
-    Lanczos-with-reorthogonalization extremes).
+    Lanczos-with-reorthogonalization extremes; ``tol`` sets the Lanczos
+    depth unless ``ncv`` is given).
 
     ``boundaries`` may pin one or both ends: (lo, None), (None, hi),
     (lo, hi), or None."""
     lo, hi = (None, None) if boundaries is None else boundaries
     if lo is None or hi is None:
-        evals, _ = lanczos_eigh(op, min(ncv, op.shape[1]), key=key)
+        k = _boundary_ncv(tol, op.shape[1], ncv)
+        evals, _ = lanczos_eigh(op, k, key=key)
         lo = float(evals[0]) if lo is None else lo
         hi = float(evals[-1]) if hi is None else hi
     return lo, hi
 
 
 def approximate_boundaries_abs(op, tol: float = 1e-2, boundaries=None,
-                               key=None, ncv: int = 32):
-    """Estimate (lambda_min, lambda_max) of |A| (reference :460-489)."""
+                               key=None, ncv: Optional[int] = None):
+    """Estimate (lambda_min, lambda_max) of |A| (reference :460-489).
+
+    Caveat vs the reference's eigsh(which='SM'): min|lambda| is taken over
+    the Ritz values of A, which converge to the spectrum's *extremes* — for
+    an indefinite operator with interior small-magnitude eigenvalues this
+    overestimates the lower boundary (it only tightens the log-spectrum
+    grid's lower edge). Pin ``boundaries=(lo, None)`` when the true
+    min|lambda| is known."""
     lo, hi = (None, None) if boundaries is None else boundaries
     if lo is None or hi is None:
-        evals, _ = lanczos_eigh(op, min(ncv, op.shape[1]), key=key)
+        k = _boundary_ncv(tol, op.shape[1], ncv)
+        evals, _ = lanczos_eigh(op, k, key=key)
         aevals = jnp.abs(evals)
         lo = float(aevals.min()) if lo is None else lo
         hi = float(aevals.max()) if hi is None else hi
@@ -270,6 +292,10 @@ class LanczosApproximateLogSpectrumCached(_LanczosSpectrumCached):
                                  num_points: int = 1024, kappa: float = 3.0,
                                  margin: float = 0.05,
                                  epsilon: float = 1e-5):
+        # NOTE: kappa defaults to 3.0 here but 1.04 in the one-shot
+        # lanczos_approximate_log_spectrum — this mirrors the reference
+        # exactly (curvlinops spectrum.py:201 vs :338), where the cached
+        # class also defaults to 3.0.
         spectra = [lanczos_approximate_log_spectrum_from_iter(
             it, self._boundaries, num_points, kappa, margin, epsilon)
             for it in self._get_lanczos_iters(num_repeats)]

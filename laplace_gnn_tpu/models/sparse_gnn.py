@@ -84,6 +84,12 @@ class SparseGATConv:
         return params
 
     def apply(self, params: dict, graph, x, taps=None):
+        if type(graph).__name__ == "HaloAggGraph":
+            raise NotImplementedError(
+                "SparseGAT computes attention on raw edge arrays; its "
+                "SDDMM is not halo-partitioned. Use SparseGCN/SparseSAGE "
+                "with HaloAggGraph, or give SparseGAT the plain "
+                "SparseGraph (pjit-sharded features).")
         g = getattr(graph, "graph", graph)       # unwrap FastAggGraph
         n = x.shape[0]
         h = self.lin.apply(params["lin"], x, taps=taps)

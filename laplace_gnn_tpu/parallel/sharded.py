@@ -144,8 +144,90 @@ def make_sharded_sparse_aggregate(mesh: Mesh, graph, d_features: int):
 # independent local segment-sum.
 # ---------------------------------------------------------------------------
 
+def _halo_partition(graph, n_parts: int):
+    """Shared host-side partition pass for the halo schedules.
+
+    Splits edges by owner of dst into per-device local/remote sets and
+    computes ``needed[p][q]`` — the sorted unique sources device p must
+    receive from device q. Packing of the remote-edge source indices is
+    schedule-specific (flat halo-table layouts differ), so this returns the
+    raw pieces plus a packer that takes a ``flat_index(p, q, pos)`` map."""
+    import numpy as np
+
+    n = graph.n_nodes
+    if n % n_parts != 0:
+        raise ValueError(f"n_nodes={n} must divide by n_parts={n_parts} "
+                         "(pad the graph first)")
+    block = n // n_parts
+    src = np.asarray(graph.src)
+    dst = np.asarray(graph.dst)
+    w = np.asarray(graph.weights)
+    o_src = src // block
+    o_dst = dst // block
+
+    needed = [[np.unique(src[(o_dst == p) & (o_src == q)])
+               for q in range(n_parts)] for p in range(n_parts)]
+
+    def pack_edges(flat_index):
+        el = [((o_dst == p) & (o_src == p)).sum() for p in range(n_parts)]
+        er = [((o_dst == p) & (o_src != p)).sum() for p in range(n_parts)]
+        EL, ER = max(1, int(max(el))), max(1, int(max(er)))
+        src_l = np.zeros((n_parts, EL), np.int32)
+        dst_l = np.zeros((n_parts, EL), np.int32)
+        w_l = np.zeros((n_parts, EL), w.dtype)
+        src_r = np.zeros((n_parts, ER), np.int32)
+        dst_r = np.zeros((n_parts, ER), np.int32)
+        w_r = np.zeros((n_parts, ER), w.dtype)
+        for p in range(n_parts):
+            m = (o_dst == p) & (o_src == p)
+            k = int(m.sum())
+            src_l[p, :k] = src[m] - p * block
+            dst_l[p, :k] = dst[m] - p * block
+            w_l[p, :k] = w[m]
+            m = (o_dst == p) & (o_src != p)
+            k = int(m.sum())
+            sq = o_src[m]
+            pos = np.empty(k, np.int64)
+            for q in range(n_parts):
+                mq = sq == q
+                if mq.any():
+                    pos[mq] = flat_index(
+                        p, q, np.searchsorted(needed[p][q], src[m][mq]))
+            src_r[p, :k] = pos
+            dst_r[p, :k] = dst[m] - p * block
+            w_r[p, :k] = w[m]
+        return {"src_l": src_l, "dst_l": dst_l, "w_l": w_l,
+                "src_r": src_r, "dst_r": dst_r, "w_r": w_r}
+
+    return needed, pack_edges, block
+
+
+def halo_widths(graph, n_parts: int):
+    """(n_parts, n_parts) matrix W[p, q] = rows p needs from q — one
+    O(E log E) pass (unique (dst-owner, src) pairs), no plan construction.
+    Used by HaloAggGraph's auto schedule to price ring vs all_to_all
+    without building both plans."""
+    import numpy as np
+
+    n = graph.n_nodes
+    if n % n_parts != 0:
+        raise ValueError(f"n_nodes={n} must divide by n_parts={n_parts} "
+                         "(pad the graph first)")
+    block = n // n_parts
+    src = np.asarray(graph.src).astype(np.int64)
+    dst = np.asarray(graph.dst).astype(np.int64)
+    o_src = src // block
+    o_dst = dst // block
+    pairs = np.unique(o_dst * n + src)          # distinct (receiver, source)
+    W = np.bincount((pairs // n) * n_parts + (pairs % n) // block,
+                    minlength=n_parts * n_parts).reshape(n_parts, n_parts)
+    np.fill_diagonal(W, 0)
+    return W
+
+
 def build_halo_exchange(graph, n_parts: int):
-    """Host-side halo plan for contiguous node-block partitions.
+    """Host-side halo plan for contiguous node-block partitions
+    (all_to_all schedule).
 
     For each device p (owner of node block [p*B, (p+1)*B)):
       - local edges: both endpoints in block p;
@@ -162,22 +244,10 @@ def build_halo_exchange(graph, n_parts: int):
     """
     import numpy as np
 
-    n = graph.n_nodes
-    if n % n_parts != 0:
-        raise ValueError(f"n_nodes={n} must divide by n_parts={n_parts} "
-                         "(pad the graph first)")
-    block = n // n_parts
-    src = np.asarray(graph.src)
-    dst = np.asarray(graph.dst)
-    w = np.asarray(graph.weights)
-    o_src = src // block
-    o_dst = dst // block
-
-    needed = [[np.unique(src[(o_dst == p) & (o_src == q)])
-               for q in range(n_parts)] for p in range(n_parts)]
-    H = max(1, max(len(needed[p][q])
-                   for p in range(n_parts) for q in range(n_parts)
-                   if p != q))
+    needed, pack_edges, block = _halo_partition(graph, n_parts)
+    H = max(1, max((len(needed[p][q])
+                    for p in range(n_parts) for q in range(n_parts)
+                    if p != q), default=0))
 
     send_idx = np.zeros((n_parts, n_parts, H), np.int32)
     for p in range(n_parts):
@@ -187,53 +257,45 @@ def build_halo_exchange(graph, n_parts: int):
             rows = needed[p][q] - q * block   # local rows on sender q
             send_idx[q, p, :len(rows)] = rows
 
-    el = [((o_dst == p) & (o_src == p)).sum() for p in range(n_parts)]
-    er = [((o_dst == p) & (o_src != p)).sum() for p in range(n_parts)]
-    EL, ER = max(1, int(max(el))), max(1, int(max(er)))
-    src_l = np.zeros((n_parts, EL), np.int32)
-    dst_l = np.zeros((n_parts, EL), np.int32)
-    w_l = np.zeros((n_parts, EL), w.dtype)
-    src_r = np.zeros((n_parts, ER), np.int32)
-    dst_r = np.zeros((n_parts, ER), np.int32)
-    w_r = np.zeros((n_parts, ER), w.dtype)
-    for p in range(n_parts):
-        m = (o_dst == p) & (o_src == p)
-        k = int(m.sum())
-        src_l[p, :k] = src[m] - p * block
-        dst_l[p, :k] = dst[m] - p * block
-        w_l[p, :k] = w[m]
-        m = (o_dst == p) & (o_src != p)
-        k = int(m.sum())
-        # remote src -> flat halo-table index q*H + position within needed
-        sq = o_src[m]
-        pos = np.empty(k, np.int64)
-        for q in range(n_parts):
-            mq = sq == q
-            if mq.any():
-                pos[mq] = np.searchsorted(needed[p][q], src[m][mq])
-        src_r[p, :k] = sq * H + pos
-        dst_r[p, :k] = dst[m] - p * block
-        w_r[p, :k] = w[m]
-    return {"send_idx": send_idx, "src_l": src_l, "dst_l": dst_l,
-            "w_l": w_l, "src_r": src_r, "dst_r": dst_r, "w_r": w_r,
-            "block": block, "H": H}
+    plan = pack_edges(lambda p, q, pos: q * H + pos)
+    plan.update(send_idx=send_idx, block=block, H=H)
+    return plan
 
 
-def make_halo_sparse_aggregate(mesh: Mesh, graph, d_features: int):
+def _local_only_aggregate(mesh: Mesh, graph):
+    """n_parts == 1 degenerate case: no halo, plain segment-sum."""
+    spec = NamedSharding(mesh, P("graph", None))
+
+    def aggregate_fn(x):
+        return graph.spmm(x)
+
+    def put(x):
+        return jax.device_put(x, spec)
+
+    stats = {"halo_rows_per_device": 0,
+             "allgather_rows_per_device": 0,
+             "comm_volume_ratio": 0.0}
+    return aggregate_fn, put, stats
+
+
+def make_halo_sparse_aggregate(mesh: Mesh, graph, d_features: int = 0):
     """Edge-partitioned SpMM with halo exchange under shard_map.
 
-    Per device and per application, moves n_parts*H*d halo rows over ICI
-    instead of the full N*d all_gather (``make_sharded_sparse_aggregate``);
-    with RCM-ordered graphs H is a small fraction of the block size. The
-    all_to_all is issued before the local-edge segment-sum so the
-    collective overlaps with independent compute. Differentiable: the
-    cotangent path is the transposed exchange (autodiff of all_to_all /
-    segment_sum), so GGN mat-vecs reuse it.
+    Per device and per application, (n_parts-1)*H halo rows cross ICI
+    (the all_to_all's self-chunk stays local) instead of the
+    N*(n_parts-1)/n_parts rows an all_gather moves
+    (``make_sharded_sparse_aggregate``); with RCM-ordered graphs H is a
+    small fraction of the block size. The all_to_all is issued before the
+    local-edge segment-sum so the collective overlaps with independent
+    compute. Differentiable: the cotangent path is the transposed exchange
+    (autodiff of all_to_all / segment_sum), so GGN mat-vecs reuse it.
 
-    Returns (aggregate_fn, put, stats) — stats reports the comm volume
-    ratio vs the all_gather path.
+    Returns (aggregate_fn, put, stats) — stats reports ICI-crossing rows
+    vs the all_gather baseline.
     """
     n_parts = mesh.shape["graph"]
+    if n_parts == 1:
+        return _local_only_aggregate(mesh, graph)
     plan = build_halo_exchange(graph, n_parts)
     block, H = plan["block"], plan["H"]
 
@@ -268,10 +330,12 @@ def make_halo_sparse_aggregate(mesh: Mesh, graph, d_features: int):
     def put(x):
         return jax.device_put(x, spec)
 
+    crossing = (n_parts - 1) * H
+    allgather_crossing = graph.n_nodes * (n_parts - 1) // n_parts
     stats = {
-        "halo_rows_per_device": n_parts * H,
-        "allgather_rows_per_device": graph.n_nodes,
-        "comm_volume_ratio": (n_parts * H) / graph.n_nodes,
+        "halo_rows_per_device": crossing,
+        "allgather_rows_per_device": allgather_crossing,
+        "comm_volume_ratio": crossing / max(allgather_crossing, 1),
     }
     return aggregate_fn, put, stats
 
@@ -290,19 +354,7 @@ def build_ring_halo_exchange(graph, n_parts: int):
     """
     import numpy as np
 
-    n = graph.n_nodes
-    if n % n_parts != 0:
-        raise ValueError(f"n_nodes={n} must divide by n_parts={n_parts} "
-                         "(pad the graph first)")
-    block = n // n_parts
-    src = np.asarray(graph.src)
-    dst = np.asarray(graph.dst)
-    w = np.asarray(graph.weights)
-    o_src = src // block
-    o_dst = dst // block
-
-    needed = [[np.unique(src[(o_dst == p) & (o_src == q)])
-               for q in range(n_parts)] for p in range(n_parts)]
+    needed, pack_edges, block = _halo_partition(graph, n_parts)
     # per-shift widths: at shift s, receiver p gets from q = (p - s) mod n
     H_s = [max(1, max(len(needed[p][(p - s) % n_parts])
                       for p in range(n_parts)))
@@ -318,37 +370,10 @@ def build_ring_halo_exchange(graph, n_parts: int):
             si[q, :len(rows)] = rows
         send_idx.append(si)
 
-    el = [((o_dst == p) & (o_src == p)).sum() for p in range(n_parts)]
-    er = [((o_dst == p) & (o_src != p)).sum() for p in range(n_parts)]
-    EL, ER = max(1, int(max(el))), max(1, int(max(er)))
-    src_l = np.zeros((n_parts, EL), np.int32)
-    dst_l = np.zeros((n_parts, EL), np.int32)
-    w_l = np.zeros((n_parts, EL), w.dtype)
-    src_r = np.zeros((n_parts, ER), np.int32)
-    dst_r = np.zeros((n_parts, ER), np.int32)
-    w_r = np.zeros((n_parts, ER), w.dtype)
-    for p in range(n_parts):
-        m = (o_dst == p) & (o_src == p)
-        k = int(m.sum())
-        src_l[p, :k] = src[m] - p * block
-        dst_l[p, :k] = dst[m] - p * block
-        w_l[p, :k] = w[m]
-        m = (o_dst == p) & (o_src != p)
-        k = int(m.sum())
-        sq = o_src[m]
-        pos = np.empty(k, np.int64)
-        for q in range(n_parts):
-            mq = sq == q
-            if mq.any():
-                s = (p - q) % n_parts
-                pos[mq] = (offsets_s[s - 1]
-                           + np.searchsorted(needed[p][q], src[m][mq]))
-        src_r[p, :k] = pos
-        dst_r[p, :k] = dst[m] - p * block
-        w_r[p, :k] = w[m]
-    return {"send_idx": send_idx, "H_s": H_s, "src_l": src_l,
-            "dst_l": dst_l, "w_l": w_l, "src_r": src_r, "dst_r": dst_r,
-            "w_r": w_r, "block": block}
+    plan = pack_edges(
+        lambda p, q, pos: offsets_s[(p - q) % n_parts - 1] + pos)
+    plan.update(send_idx=send_idx, H_s=H_s, block=block)
+    return plan
 
 
 def make_ring_halo_sparse_aggregate(mesh: Mesh, graph, d_features: int = 0):
@@ -358,6 +383,8 @@ def make_ring_halo_sparse_aggregate(mesh: Mesh, graph, d_features: int = 0):
     local-edge segment-sum, so they overlap with independent compute (and
     with each other: each hop uses a disjoint buffer)."""
     n_parts = mesh.shape["graph"]
+    if n_parts == 1:
+        return _local_only_aggregate(mesh, graph)
     plan = build_ring_halo_exchange(graph, n_parts)
     block = plan["block"]
 
@@ -396,11 +423,12 @@ def make_ring_halo_sparse_aggregate(mesh: Mesh, graph, d_features: int = 0):
     def put(x):
         return jax.device_put(x, spec)
 
-    total_halo = int(sum(plan["H_s"]))
+    crossing = int(sum(plan["H_s"]))
+    allgather_crossing = graph.n_nodes * (n_parts - 1) // n_parts
     stats = {
-        "halo_rows_per_device": total_halo,
-        "allgather_rows_per_device": graph.n_nodes,
-        "comm_volume_ratio": total_halo / graph.n_nodes,
+        "halo_rows_per_device": crossing,
+        "allgather_rows_per_device": allgather_crossing,
+        "comm_volume_ratio": crossing / max(allgather_crossing, 1),
         "H_s": plan["H_s"],
     }
     return aggregate_fn, put, stats
@@ -408,11 +436,16 @@ def make_ring_halo_sparse_aggregate(mesh: Mesh, graph, d_features: int = 0):
 
 class HaloAggGraph:
     """Duck-typed stand-in for SparseGraph/FastAggGraph inside the sparse
-    models (SparseGCN/SAGE/GAT take any graph with ``.spmm``): aggregation
-    runs edge-partitioned over the mesh's 'graph' axis with halo exchange.
-    Construct the model with ``HaloAggGraph(mesh, g)`` and the whole
-    training step — forward, backward, KFAC taps — is sharded; everything
-    composes because the exchange is an ordinary differentiable jit region.
+    models: aggregation runs edge-partitioned over the mesh's 'graph' axis
+    with halo exchange. Construct the model with ``HaloAggGraph(mesh, g)``
+    and the whole training step — forward, backward, KFAC taps — is
+    sharded; everything composes because the exchange is an ordinary
+    differentiable jit region.
+
+    Supported models: SparseGCN and SparseSAGE (their aggregation is
+    ``graph.spmm``). SparseGAT computes attention on raw edge arrays and
+    raises if handed a HaloAggGraph (its conv unwraps ``.graph`` — the
+    attention SDDMM is not halo-partitioned yet).
     """
 
     def __init__(self, mesh: Mesh, graph, d_features: int = 0,
@@ -422,14 +455,24 @@ class HaloAggGraph:
         self.shape = (graph.n_nodes, graph.n_nodes)
         if schedule not in ("auto", "alltoall", "ring"):
             raise ValueError(f"Unknown halo schedule {schedule!r}")
-        if schedule == "auto":
-            # ring's per-shift padding is never larger in volume; prefer the
-            # single fused all_to_all only when traffic is near-uniform
-            # (ring saves <20%), where one collective beats n-1 permutes.
-            n_parts = mesh.shape["graph"]
-            ring_rows = sum(build_ring_halo_exchange(graph, n_parts)["H_s"])
-            a2a_rows = n_parts * build_halo_exchange(graph, n_parts)["H"]
+        n_parts = mesh.shape["graph"]
+        if schedule == "auto" and n_parts > 1:
+            # Price both schedules from the width matrix alone (one cheap
+            # pass, no plan construction). ICI-crossing rows: ring pads
+            # per shift, all_to_all pads every pair to the global max but
+            # its self-chunk stays local. Prefer the single fused
+            # all_to_all when ring saves <20% — fewer collectives wins on
+            # latency for near-uniform traffic.
+            W = halo_widths(graph, n_parts)
+            H = int(W.max())
+            ring_rows = sum(
+                max(1, max(int(W[p][(p - s) % n_parts])
+                           for p in range(n_parts)))
+                for s in range(1, n_parts))
+            a2a_rows = (n_parts - 1) * max(1, H)
             schedule = "ring" if ring_rows < 0.8 * a2a_rows else "alltoall"
+        elif schedule == "auto":
+            schedule = "alltoall"     # degenerate single-part mesh
         self.schedule = schedule
         maker = (make_ring_halo_sparse_aggregate if schedule == "ring"
                  else make_halo_sparse_aggregate)

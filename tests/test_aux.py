@@ -363,3 +363,24 @@ def test_submatrix_set_submatrix(psd_op):
     assert sub.shape == (10, 5)
     np.testing.assert_allclose(np.asarray(sub.matvec(v)),
                                np.asarray(M[10:20, 5:10] @ v), rtol=1e-10)
+
+
+def test_lsmr_info_reports_damped_residual(psd_op):
+    from laplace_gnn_tpu.curvature import LSMRInverseOperator
+    op, M = psd_op
+    v = jax.random.normal(jax.random.PRNGKey(9), (30,))
+    damp = 2.0
+    ls = LSMRInverseOperator(op, damp=damp, atol=1e-12, maxiter=500)
+    x, info = ls.matvec_with_info(v)
+    r = np.asarray(M @ x - v)
+    expected = np.sqrt(r @ r + damp ** 2 * float(x @ x))
+    np.testing.assert_allclose(info["residual_norm"], expected, rtol=1e-6)
+
+
+def test_boundary_tol_sets_lanczos_depth(psd_op):
+    from laplace_gnn_tpu.curvature.spectrum import _boundary_ncv
+    assert _boundary_ncv(1e-2, 1000, None) == 20
+    assert _boundary_ncv(1e-4, 1000, None) == 200
+    assert _boundary_ncv(0.0, 1000, None) == 128
+    assert _boundary_ncv(1e-4, 50, None) == 50      # capped at dim
+    assert _boundary_ncv(1e-4, 1000, 32) == 32      # explicit ncv wins

@@ -369,3 +369,68 @@ def test_halo_agg_graph_auto_schedule():
                                np.asarray(g.spmm(x)), atol=1e-5)
     with pytest.raises(ValueError, match="schedule"):
         HaloAggGraph(mesh, g, schedule="bogus")
+
+
+def test_halo_single_partition_mesh():
+    # graph axis of size 1 (pure model-parallel mesh): no halo, local path
+    from laplace_gnn_tpu.graph.container import sparse_from_edge_index
+    from laplace_gnn_tpu.parallel import HaloAggGraph
+    from laplace_gnn_tpu.parallel.sharded import (
+        make_halo_sparse_aggregate, make_ring_halo_sparse_aggregate)
+    rng = np.random.default_rng(6)
+    n, d = 32, 8
+    adj = np.minimum((rng.random((n, n)) < 0.2)
+                     + (rng.random((n, n)) < 0.2).T, 1).astype(float)
+    np.fill_diagonal(adj, 0)
+    rows, cols = np.nonzero(adj)
+    g = sparse_from_edge_index(np.stack([cols, rows]), n, normalize="sym")
+    mesh = make_mesh(8, model_parallel=8)     # graph axis = 1
+    x = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    ref = np.asarray(g.spmm(x))
+    for maker in (make_halo_sparse_aggregate,
+                  make_ring_halo_sparse_aggregate):
+        agg, put, stats = maker(mesh, g, d)
+        np.testing.assert_allclose(np.asarray(agg(put(x))), ref, atol=1e-5)
+        assert stats["comm_volume_ratio"] == 0.0
+    hg = HaloAggGraph(mesh, g)                # auto on 1-part mesh
+    np.testing.assert_allclose(np.asarray(hg.spmm(hg.put(x))), ref,
+                               atol=1e-5)
+
+
+def test_halo_widths_matches_plans():
+    from laplace_gnn_tpu.graph.container import sparse_from_edge_index
+    from laplace_gnn_tpu.parallel import halo_widths
+    from laplace_gnn_tpu.parallel.sharded import (build_halo_exchange,
+                                                  build_ring_halo_exchange)
+    rng = np.random.default_rng(7)
+    n = 64
+    adj = np.minimum((rng.random((n, n)) < 0.15)
+                     + (rng.random((n, n)) < 0.15).T, 1).astype(float)
+    np.fill_diagonal(adj, 0)
+    rows, cols = np.nonzero(adj)
+    g = sparse_from_edge_index(np.stack([cols, rows]), n, normalize="sym")
+    W = halo_widths(g, 4)
+    assert build_halo_exchange(g, 4)["H"] == int(W.max())
+    H_s = build_ring_halo_exchange(g, 4)["H_s"]
+    for s in range(1, 4):
+        assert H_s[s - 1] == max(1, max(int(W[p][(p - s) % 4])
+                                        for p in range(4)))
+
+
+def test_sparse_gat_rejects_halo_graph():
+    from laplace_gnn_tpu.graph.container import sparse_from_edge_index
+    from laplace_gnn_tpu.models import SparseGAT
+    from laplace_gnn_tpu.parallel import HaloAggGraph
+    rng = np.random.default_rng(8)
+    n = 32
+    adj = np.minimum((rng.random((n, n)) < 0.2)
+                     + (rng.random((n, n)) < 0.2).T, 1).astype(float)
+    rows, cols = np.nonzero(adj)
+    g = sparse_from_edge_index(np.stack([cols, rows]), n, normalize=None)
+    mesh = make_mesh(8, model_parallel=2)
+    hg = HaloAggGraph(mesh, g)
+    X = jnp.asarray(rng.standard_normal((n, 8)), jnp.float32)
+    model = SparseGAT(8, 8, 3, 2, X, hg, dropout_p=0.0)
+    params = model.init(jax.random.PRNGKey(0))
+    with pytest.raises(NotImplementedError, match="halo"):
+        model.apply(params, jnp.arange(n))
