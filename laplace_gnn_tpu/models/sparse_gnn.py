@@ -84,31 +84,30 @@ class SparseGATConv:
         return params
 
     def apply(self, params: dict, graph, x, taps=None):
-        if type(graph).__name__ == "HaloAggGraph":
-            raise NotImplementedError(
-                "SparseGAT computes attention on raw edge arrays; its "
-                "SDDMM is not halo-partitioned. Use SparseGCN/SparseSAGE "
-                "with HaloAggGraph, or give SparseGAT the plain "
-                "SparseGraph (pjit-sharded features).")
-        g = getattr(graph, "graph", graph)       # unwrap FastAggGraph
         n = x.shape[0]
         h = self.lin.apply(params["lin"], x, taps=taps)
         h = h.reshape(n, self.heads, self.out_channels)          # (N, H, F)
-        a_src = jnp.sum(h * params["att_src"], axis=-1)          # (N, H)
-        a_dst = jnp.sum(h * params["att_dst"], axis=-1)
+        if hasattr(graph, "gat_aggregate"):      # HaloAggGraph: sharded
+            out = graph.gat_aggregate(h, params["att_src"],
+                                      params["att_dst"],
+                                      self.negative_slope)
+        else:
+            g = getattr(graph, "graph", graph)   # unwrap FastAggGraph
+            a_src = jnp.sum(h * params["att_src"], axis=-1)      # (N, H)
+            a_dst = jnp.sum(h * params["att_dst"], axis=-1)
 
-        src, dst = g.src, g.dst
-        scores = jax.nn.leaky_relu(a_src[src] + a_dst[dst],
-                                   self.negative_slope)          # (E, H)
-        smax = jax.ops.segment_max(scores, dst, num_segments=n,
-                                   indices_are_sorted=g.dst_sorted)
-        ex = jnp.exp(scores - smax[dst])
-        denom = jax.ops.segment_sum(ex, dst, num_segments=n,
-                                    indices_are_sorted=g.dst_sorted)
-        coeff = ex / jnp.maximum(denom[dst], 1e-16)              # (E, H)
-        msgs = coeff[:, :, None] * h[src]                        # (E, H, F)
-        out = jax.ops.segment_sum(msgs, dst, num_segments=n,
-                                  indices_are_sorted=g.dst_sorted)
+            src, dst = g.src, g.dst
+            scores = jax.nn.leaky_relu(a_src[src] + a_dst[dst],
+                                       self.negative_slope)      # (E, H)
+            smax = jax.ops.segment_max(scores, dst, num_segments=n,
+                                       indices_are_sorted=g.dst_sorted)
+            ex = jnp.exp(scores - smax[dst])
+            denom = jax.ops.segment_sum(ex, dst, num_segments=n,
+                                        indices_are_sorted=g.dst_sorted)
+            coeff = ex / jnp.maximum(denom[dst], 1e-16)          # (E, H)
+            msgs = coeff[:, :, None] * h[src]                    # (E, H, F)
+            out = jax.ops.segment_sum(msgs, dst, num_segments=n,
+                                      indices_are_sorted=g.dst_sorted)
         if self.concat:
             out = out.reshape(n, self.heads * self.out_channels)
         else:

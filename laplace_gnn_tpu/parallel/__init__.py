@@ -4,7 +4,7 @@ from .partition import (HaloPlan, Partition, apply_node_order, bandwidth,
                         partition_efficiency, rcm_order)
 from .sharded import (HaloAggGraph, build_halo_exchange,
                       build_ring_halo_exchange, halo_widths,
-                      make_halo_sparse_aggregate,
+                      make_halo_gat_aggregate, make_halo_sparse_aggregate,
                       make_ring_halo_sparse_aggregate,
                       make_sharded_sparse_aggregate, make_sharded_train_step,
                       partition_sparse_graph, sharded_aggregate)

@@ -442,17 +442,19 @@ class HaloAggGraph:
     sharded; everything composes because the exchange is an ordinary
     differentiable jit region.
 
-    Supported models: SparseGCN and SparseSAGE (their aggregation is
-    ``graph.spmm``). SparseGAT computes attention on raw edge arrays and
-    raises if handed a HaloAggGraph (its conv unwraps ``.graph`` — the
-    attention SDDMM is not halo-partitioned yet).
+    Supported models: SparseGCN and SparseSAGE aggregate via
+    ``graph.spmm``; SparseGAT routes its edge-softmax attention through
+    :meth:`gat_aggregate` (halo of the transformed h rows, combined
+    local+remote segment softmax).
     """
 
     def __init__(self, mesh: Mesh, graph, d_features: int = 0,
                  schedule: str = "auto"):
+        self.mesh = mesh
         self.graph = graph
         self.n_nodes = graph.n_nodes
         self.shape = (graph.n_nodes, graph.n_nodes)
+        self._gat = None
         if schedule not in ("auto", "alltoall", "ring"):
             raise ValueError(f"Unknown halo schedule {schedule!r}")
         n_parts = mesh.shape["graph"]
@@ -477,3 +479,118 @@ class HaloAggGraph:
         maker = (make_ring_halo_sparse_aggregate if schedule == "ring"
                  else make_halo_sparse_aggregate)
         self.spmm, self.put, self.stats = maker(mesh, graph, d_features)
+
+    def gat_aggregate(self, h, att_src, att_dst, negative_slope):
+        """Halo-partitioned GAT edge-softmax aggregation (built lazily;
+        see :func:`make_halo_gat_aggregate`). ``h`` is (N, heads, F)."""
+        if self._gat is None:
+            self._gat = make_halo_gat_aggregate(self.mesh, self.graph)[0]
+        return self._gat(h, att_src, att_dst, negative_slope)
+
+
+def make_halo_gat_aggregate(mesh: Mesh, graph):
+    """Halo-partitioned GAT edge-softmax aggregation.
+
+    GAT needs, per owned edge, the *transformed* source row h[src] (for
+    both the attention logit's a_src term and the message) — h = lin(x) is
+    row-wise, so each device transforms its own block and the halo
+    exchange moves h rows exactly like SpMM moves x rows. The edge softmax
+    combines the local and remote edge sets of each destination segment
+    (shared max, summed denominators); padding edges are masked out of the
+    softmax (a zero weight silences a pad in a segment-*sum*, but would
+    still contribute exp(score) to a softmax denominator).
+
+    Returns (gat_fn, put) with
+    ``gat_fn(h, att_src, att_dst, negative_slope) -> (N, heads, F)``
+    where h is the (N, heads, F) transformed-and-reshaped features and
+    att_src/att_dst are the (1, heads, F) attention vectors (traced —
+    gradients flow into them).
+    """
+    n_parts = mesh.shape["graph"]
+    spec = NamedSharding(mesh, P("graph", None))
+
+    if n_parts == 1:
+        def gat_fn_local(h, att_src, att_dst, negative_slope):
+            g = graph
+            n = h.shape[0]
+            a_src = jnp.sum(h * att_src, axis=-1)
+            a_dst = jnp.sum(h * att_dst, axis=-1)
+            scores = jax.nn.leaky_relu(a_src[g.src] + a_dst[g.dst],
+                                       negative_slope)
+            smax = jax.ops.segment_max(scores, g.dst, num_segments=n)
+            ex = jnp.exp(scores - smax[g.dst])
+            denom = jax.ops.segment_sum(ex, g.dst, num_segments=n)
+            coeff = ex / jnp.maximum(denom[g.dst], 1e-16)
+            return jax.ops.segment_sum(coeff[:, :, None] * h[g.src], g.dst,
+                                       num_segments=n)
+
+        return gat_fn_local, (lambda x: jax.device_put(x, spec))
+
+    plan = build_halo_exchange(graph, n_parts)
+    block, H = plan["block"], plan["H"]
+    # pad masks: real edges carry the graph's weight (> 0 for attention
+    # graphs, which are unnormalized), pads carry exactly 0
+    m_l_host = plan["w_l"] > 0
+    m_r_host = plan["w_r"] > 0
+
+    def local(send_idx_b, src_l, dst_l, ml, src_r, dst_r, mr, h_blk,
+              att_s, att_d, slope):
+        heads, F = h_blk.shape[1], h_blk.shape[2]
+        buf = h_blk[send_idx_b[0]]               # (n_parts, H, heads, F)
+        halo = jax.lax.all_to_all(buf, "graph", split_axis=0,
+                                  concat_axis=0, tiled=False)
+        halo_flat = halo.reshape(n_parts * H, heads, F)
+        src_l, dst_l, ml = src_l[0], dst_l[0], ml[0]
+        src_r, dst_r, mr = src_r[0], dst_r[0], mr[0]
+
+        neg = jnp.asarray(-1e30, h_blk.dtype)
+        a_src_blk = jnp.sum(h_blk * att_s, axis=-1)          # (B, heads)
+        a_dst_blk = jnp.sum(h_blk * att_d, axis=-1)
+        a_src_halo = jnp.sum(halo_flat * att_s, axis=-1)     # (nH, heads)
+
+        s_l = jax.nn.leaky_relu(a_src_blk[src_l] + a_dst_blk[dst_l], slope)
+        s_r = jax.nn.leaky_relu(a_src_halo[src_r] + a_dst_blk[dst_r], slope)
+        s_l = jnp.where(ml[:, None], s_l, neg)
+        s_r = jnp.where(mr[:, None], s_r, neg)
+        smax = jnp.maximum(
+            jax.ops.segment_max(s_l, dst_l, num_segments=block),
+            jax.ops.segment_max(s_r, dst_r, num_segments=block))
+        smax = jnp.where(smax > neg / 2, smax, 0.0)
+        ex_l = jnp.where(ml[:, None], jnp.exp(s_l - smax[dst_l]), 0.0)
+        ex_r = jnp.where(mr[:, None], jnp.exp(s_r - smax[dst_r]), 0.0)
+        denom = (jax.ops.segment_sum(ex_l, dst_l, num_segments=block)
+                 + jax.ops.segment_sum(ex_r, dst_r, num_segments=block))
+        c_l = ex_l / jnp.maximum(denom[dst_l], 1e-16)
+        c_r = ex_r / jnp.maximum(denom[dst_r], 1e-16)
+        out = jax.ops.segment_sum(c_l[:, :, None] * h_blk[src_l], dst_l,
+                                  num_segments=block)
+        return out + jax.ops.segment_sum(
+            c_r[:, :, None] * halo_flat[src_r], dst_r, num_segments=block)
+
+    sharded = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P("graph",), P("graph",), P("graph",), P("graph",),
+                  P("graph",), P("graph",), P("graph",),
+                  P("graph", None, None), P(), P(), P()),
+        out_specs=P("graph", None, None))
+
+    # Keep the plan as host arrays and convert per call: gat_fn may be
+    # (lazily) built inside an enclosing jit trace, where device_put would
+    # produce tracers that must not be cached across traces. jnp.asarray
+    # of a numpy constant is safe in any trace.
+    host = {"send_idx": plan["send_idx"], "src_l": plan["src_l"],
+            "dst_l": plan["dst_l"], "m_l": m_l_host,
+            "src_r": plan["src_r"], "dst_r": plan["dst_r"],
+            "m_r": m_r_host}
+
+    def gat_fn(h, att_src, att_dst, negative_slope):
+        a = {k: jnp.asarray(v) for k, v in host.items()}
+        return sharded(a["send_idx"], a["src_l"], a["dst_l"], a["m_l"],
+                       a["src_r"], a["dst_r"], a["m_r"],
+                       h, att_src, att_dst,
+                       jnp.asarray(negative_slope, h.dtype))
+
+    def put(x):
+        return jax.device_put(x, spec)
+
+    return gat_fn, put

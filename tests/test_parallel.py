@@ -417,7 +417,9 @@ def test_halo_widths_matches_plans():
                                         for p in range(4)))
 
 
-def test_sparse_gat_rejects_halo_graph():
+def test_sparse_gat_halo_matches_single_device():
+    # edge-softmax attention through the halo exchange == plain graph
+    from jax.sharding import NamedSharding
     from laplace_gnn_tpu.graph.container import sparse_from_edge_index
     from laplace_gnn_tpu.models import SparseGAT
     from laplace_gnn_tpu.parallel import HaloAggGraph
@@ -425,12 +427,33 @@ def test_sparse_gat_rejects_halo_graph():
     n = 32
     adj = np.minimum((rng.random((n, n)) < 0.2)
                      + (rng.random((n, n)) < 0.2).T, 1).astype(float)
+    np.fill_diagonal(adj, 1)                 # self-loops, as GAT expects
     rows, cols = np.nonzero(adj)
-    g = sparse_from_edge_index(np.stack([cols, rows]), n, normalize=None)
+    g = sparse_from_edge_index(np.stack([cols, rows]), n, normalize=None,
+                               add_self_loops=False)
     mesh = make_mesh(8, model_parallel=2)
     hg = HaloAggGraph(mesh, g)
-    X = jnp.asarray(rng.standard_normal((n, 8)), jnp.float32)
-    model = SparseGAT(8, 8, 3, 2, X, hg, dropout_p=0.0)
-    params = model.init(jax.random.PRNGKey(0))
-    with pytest.raises(NotImplementedError, match="halo"):
-        model.apply(params, jnp.arange(n))
+    X = rng.standard_normal((n, 8)).astype(np.float32)
+    Xs = jax.device_put(jnp.asarray(X), NamedSharding(mesh, P("graph",
+                                                              None)))
+    m_sh = SparseGAT(8, 8, 3, 2, Xs, hg, dropout_p=0.0)
+    m_ref = SparseGAT(8, 8, 3, 2, jnp.asarray(X), g, dropout_p=0.0)
+    params = m_ref.init(jax.random.PRNGKey(0))
+    idx = jnp.arange(n)
+    f_sh = jax.jit(lambda p: m_sh.apply(p, idx))(params)
+    f_ref = m_ref.apply(params, idx)
+    np.testing.assert_allclose(np.asarray(f_sh), np.asarray(f_ref),
+                               atol=1e-5)
+    # gradients (incl. attention vectors) flow through the halo path
+    y = jnp.asarray(rng.integers(0, 3, n))
+
+    def loss(p, model):
+        f = model.apply(p, idx)
+        lp = jax.nn.log_softmax(f)
+        return -jnp.mean(lp[jnp.arange(n), y])
+
+    g_sh = jax.jit(jax.grad(lambda p: loss(p, m_sh)))(params)
+    g_ref = jax.grad(lambda p: loss(p, m_ref))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_sh),
+                    jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
