@@ -49,14 +49,18 @@ class BaseLaplace:
         if likelihood not in [e.value for e in Likelihood]:
             raise ValueError(f"Invalid likelihood type {likelihood}")
         self.model = model
-        self.likelihood = (Likelihood.CLASSIFICATION.value
-                           if likelihood == Likelihood.REWARD_MODELING.value
-                           else likelihood)
+        # reward modeling keeps its identity: FIT uses the classification
+        # likelihood, PREDICT uses regression (mean + variance of the
+        # scalar reward) — reference baselaplace.py:57-63, :1060-1061
+        self.likelihood = likelihood
         self.enable_backprop = enable_backprop
 
+        fit_likelihood = (Likelihood.CLASSIFICATION.value
+                          if likelihood == Likelihood.REWARD_MODELING.value
+                          else likelihood)
         backend_cls = backend or self._default_backend()
         self.backend: CurvatureBackend = backend_cls(
-            model, params, self.likelihood, exclude=exclude,
+            model, params, fit_likelihood, exclude=exclude,
             **self._backend_extra(), **(backend_kwargs or {}))
 
         self.n_params = self.backend.n_params
@@ -238,8 +242,10 @@ class BaseLaplace:
                     n_samples):
         from ..utils.metrics import nll_loss, mse_loss
         if loss is None:
-            loss = (mse_loss if self.likelihood == Likelihood.REGRESSION.value
-                    else nll_loss)
+            # reward modeling predicts as regression (reference :388)
+            loss = (nll_loss
+                    if self.likelihood == Likelihood.CLASSIFICATION.value
+                    else mse_loss)
         results, prior_precs = [], []
         for prior_prec in interval:
             self.prior_precision = prior_prec
@@ -399,8 +405,12 @@ class ParametricLaplace(BaseLaplace):
                  link_approx: str = LinkApprox.PROBIT.value,
                  n_samples: int = 100,
                  diagonal_output: bool = False,
-                 key=None, **model_kwargs):
-        """(reference :975-1072)"""
+                 key=None, fitting: bool = False, **model_kwargs):
+        """(reference :975-1072)
+
+        ``fitting`` only matters for reward modeling: the likelihood is
+        classification during fitting and regression (reward mean +
+        variance) at prediction time (reference :1028, :1060-1061)."""
         if pred_type not in (PredType.GLM.value, PredType.NN.value):
             raise ValueError("Only glm and nn supported as prediction types.")
         if link_approx not in [la.value for la in LinkApprox]:
@@ -410,10 +420,15 @@ class ParametricLaplace(BaseLaplace):
                              "prediction type.")
         key = key if key is not None else self.next_key()
 
+        likelihood = self.likelihood
+        if likelihood == Likelihood.REWARD_MODELING.value:
+            likelihood = (Likelihood.CLASSIFICATION.value if fitting
+                          else Likelihood.REGRESSION.value)
+
         if pred_type == PredType.GLM.value:
             f_mu, f_var = self._glm_predictive_distribution(
-                x, joint=joint and self.likelihood == Likelihood.REGRESSION.value)
-            if self.likelihood == Likelihood.REGRESSION.value:
+                x, joint=joint and likelihood == Likelihood.REGRESSION.value)
+            if likelihood == Likelihood.REGRESSION.value:
                 if diagonal_output and not joint:
                     f_var = jnp.diagonal(f_var, axis1=-2, axis2=-1)
                 return f_mu, f_var
@@ -421,7 +436,7 @@ class ParametricLaplace(BaseLaplace):
                 key, f_mu, f_var, link_approx, n_samples, diagonal_output)
         # nn predictive
         fs = self._nn_predictive_samples(x, n_samples, key=key)
-        if self.likelihood == Likelihood.REGRESSION.value:
+        if likelihood == Likelihood.REGRESSION.value:
             return jnp.mean(fs, axis=0), jnp.var(fs, axis=0)
         return jnp.mean(fs, axis=0)
 

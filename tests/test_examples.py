@@ -66,3 +66,18 @@ def test_distributed_marglik(capsys):
     out = capsys.readouterr().out
     assert "distributed marglik pipeline OK" in out
     assert "schedule=ring" in out
+
+
+def test_regression(capsys):
+    run_example("06_regression.py")
+    assert "regression example OK" in capsys.readouterr().out
+
+
+def test_bayesopt(capsys):
+    run_example("07_bayesopt.py")
+    assert "bayesopt example OK" in capsys.readouterr().out
+
+
+def test_reward_modeling(capsys):
+    run_example("08_reward_modeling.py")
+    assert "reward modeling example OK" in capsys.readouterr().out

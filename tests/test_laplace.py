@@ -269,3 +269,43 @@ def test_backend_choices():
                      backend_kwargs={"stochastic": True, "mc_samples": 4})
     la.fit(loader)
     assert np.isfinite(float(la.log_marginal_likelihood()))
+
+
+def test_reward_modeling_fit_classification_predict_regression():
+    # Bradley-Terry reward model (reference examples/reward_modeling_
+    # example.py): fit sees (B, 2, d) -> (B, 2) logits under CE; predict
+    # sees (B, d) -> (B, 1) and returns regression mean + variance.
+    from laplace_gnn_tpu import Laplace
+    from laplace_gnn_tpu.nn import MLP
+
+    class RewardMLP(MLP):
+        def apply(self, params, x, **kw):
+            if x.ndim == 3:
+                b, two, d = x.shape
+                out = super().apply(params, x.reshape(-1, d), **kw)
+                return out.reshape(b, two)
+            return super().apply(params, x, **kw)
+
+    rng = np.random.default_rng(0)
+    model = RewardMLP([3, 16, 1], act="relu")
+    params = model.init(jax.random.PRNGKey(0))
+    X = jnp.asarray(rng.standard_normal((10, 2, 3)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 2, 10))
+
+    la = Laplace(model, params, "reward_modeling",
+                 subset_of_weights="all", hessian_structure="kron")
+    assert la.likelihood == "reward_modeling"
+    la.fit([(X, y)])
+    assert np.isfinite(float(la.log_marginal_likelihood()))
+
+    # prediction: regression semantics on single inputs
+    x_test = jnp.asarray(rng.standard_normal((5, 3)), jnp.float32)
+    f_mu, f_var = la(x_test)
+    assert f_mu.shape == (5, 1)
+    assert np.asarray(f_var).shape in ((5, 1), (5, 1, 1))
+    assert np.all(np.isfinite(np.asarray(f_mu)))
+    assert np.all(np.asarray(f_var).ravel() > 0)
+
+    # fitting=True flips back to classification semantics on pairs
+    probs = la(X, fitting=True)
+    np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, atol=1e-5)
