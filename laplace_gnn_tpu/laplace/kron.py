@@ -92,6 +92,12 @@ class Kron:
     def __len__(self) -> int:
         return len(self.kfacs)
 
+    def detach(self) -> "Kron":
+        """Stop-gradient copy (reference KronDecomposed.detach analog —
+        in JAX 'detach' is jax.lax.stop_gradient on the factors)."""
+        return Kron([[jax.lax.stop_gradient(f) for f in group]
+                     for group in self.kfacs])
+
     def decompose(self, damping: bool = False) -> "KronDecomposed":
         """Eigendecompose every factor (reference :118-145)."""
         eigvecs, eigvals = [], []
@@ -246,6 +252,14 @@ class KronDecomposed:
 
     def __len__(self) -> int:
         return len(self.eigenvalues)
+
+    def detach(self) -> "KronDecomposed":
+        """(reference laplace/utils/matrix.py KronDecomposed.detach)"""
+        sg = jax.lax.stop_gradient
+        return KronDecomposed(
+            [[sg(v) for v in group] for group in self.eigenvectors],
+            [[sg(l) for l in group] for group in self.eigenvalues],
+            deltas=sg(self.deltas), damping=self.damping)
 
     def _block_eigs(self, ls, delta):
         """Effective eigenvalue grid of one block including the prior."""
