@@ -45,7 +45,8 @@ class CurvatureBackend:
     def __init__(self, model, params, likelihood: str,
                  last_layer: bool = False,
                  subnetwork_indices: Optional[jnp.ndarray] = None,
-                 exclude=DEFAULT_EXCLUDE):
+                 exclude=DEFAULT_EXCLUDE,
+                 jac_chunk_size: Optional[int] = None):
         self.model = model
         self.likelihood = likelihood
         self.lossfunc = get_loss_fn(likelihood)
@@ -53,6 +54,7 @@ class CurvatureBackend:
         self.last_layer = last_layer
         self.subnetwork_indices = subnetwork_indices
         self.exclude = tuple(exclude)
+        self.jac_chunk_size = jac_chunk_size
         self.set_params(params)
 
     # -- parameter bookkeeping -------------------------------------------
@@ -91,19 +93,37 @@ class CurvatureBackend:
         return self.factor * self.lossfunc(f, y)
 
     # -- jacobians --------------------------------------------------------
-    def jacobians(self, X) -> tuple[jnp.ndarray, jnp.ndarray]:
+    def jacobians(self, X, chunk_size: Optional[int] = None
+                  ) -> tuple[jnp.ndarray, jnp.ndarray]:
         """(Js (M, C, P), f (M, C)) w.r.t. the flat posterior vector, via
-        jacrev over the functional call (reference curvature.py:89-130)."""
+        jacrev over the functional call (reference curvature.py:89-130).
+
+        ``chunk_size`` bounds peak memory: the M*C pullbacks run fully
+        vmapped when None, else in ``lax.map`` chunks of that many samples
+        (each pullback of a whole-graph GNN materializes full-graph
+        intermediates, so the vmapped cost is M*C*N*h — chunking trades
+        that for sequential sweeps). Defaults to ``self.jac_chunk_size``
+        (constructor arg) when unset."""
         f, pullback = jax.vjp(lambda w_: self.model_fn(w_, X), self.w)
         M, C = f.shape
         eye = jnp.eye(C, dtype=f.dtype)
+        chunk_size = chunk_size if chunk_size is not None \
+            else self.jac_chunk_size
 
         def row(m, c):
             cot = jnp.zeros_like(f).at[m].set(eye[c])
             return tree_vector(pullback(cot)[0])
 
-        Js = jax.vmap(lambda m: jax.vmap(lambda c: row(m, c))(jnp.arange(C)))(
-            jnp.arange(M))
+        def rows_for_sample(m):
+            return jax.vmap(lambda c: row(m, c))(jnp.arange(C))
+
+        if chunk_size is None or chunk_size >= M:
+            Js = jax.vmap(rows_for_sample)(jnp.arange(M))
+        else:
+            pad = (-M) % chunk_size
+            ms = jnp.arange(M + pad).reshape(-1, chunk_size)
+            Js = jax.lax.map(jax.vmap(rows_for_sample), ms)
+            Js = Js.reshape(-1, C, Js.shape[-1])[:M]
         if self.subnetwork_indices is not None:
             Js = Js[:, :, self.subnetwork_indices]
         return Js, f

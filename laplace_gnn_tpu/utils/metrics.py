@@ -84,3 +84,11 @@ class RunningNLLMetric:
     def __call__(self, probs, targets) -> float:
         self.update(probs, targets)
         return self.compute()
+
+
+def validate(la, val_loader, loss, pred_type: str = "glm",
+             link_approx: str = "probit", n_samples: int = 100) -> float:
+    """Offline predictive validation of a fitted Laplace on a loader
+    (reference laplace/utils/utils.py:40-101): runs the posterior
+    predictive over ``val_loader`` and scores it with ``loss``."""
+    return la._validate(val_loader, loss, pred_type, link_approx, n_samples)

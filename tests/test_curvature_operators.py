@@ -212,3 +212,37 @@ def test_gnn_backend_excludes_adj():
     loss, Hb = backend.full(idx, y)
     assert Hb.shape == (26, 26)
     assert np.isfinite(np.asarray(Hb)).all()
+
+
+def test_jacobians_chunked_matches_vmapped():
+    from laplace_gnn_tpu.curvature.interface import GGNBackend
+    from laplace_gnn_tpu.nn import MLP
+    model = MLP([3, 8, 4], act="tanh")
+    params = model.init(jax.random.PRNGKey(0))
+    X = jax.random.normal(jax.random.PRNGKey(1), (7, 3))
+    be = GGNBackend(model, params, "classification")
+    Js_full, f = be.jacobians(X)
+    Js_chunk, f2 = be.jacobians(X, chunk_size=3)   # 7 = 2*3 + 1 (pad path)
+    np.testing.assert_allclose(np.asarray(Js_full), np.asarray(Js_chunk),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(f), np.asarray(f2))
+    # constructor default applies
+    be2 = GGNBackend(model, params, "classification", jac_chunk_size=2)
+    Js_d, _ = be2.jacobians(X)
+    np.testing.assert_allclose(np.asarray(Js_full), np.asarray(Js_d),
+                               rtol=1e-12)
+
+
+def test_public_validate():
+    from laplace_gnn_tpu import DiagLaplace
+    from laplace_gnn_tpu.nn import MLP
+    from laplace_gnn_tpu.utils import nll_loss, validate
+    from laplace_gnn_tpu.utils.data import ArrayLoader
+    model = MLP([3, 8, 2], act="tanh")
+    params = model.init(jax.random.PRNGKey(0))
+    X = jax.random.normal(jax.random.PRNGKey(1), (12, 3))
+    y = jax.random.randint(jax.random.PRNGKey(2), (12,), 0, 2)
+    la = DiagLaplace(model, params, "classification")
+    la.fit(ArrayLoader(X, y))
+    v = validate(la, ArrayLoader(X, y), nll_loss)
+    assert np.isfinite(v)
