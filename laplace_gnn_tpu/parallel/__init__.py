@@ -1,5 +1,6 @@
 from .mesh import graph_sharding, make_mesh, replicated, shard_gnn_params
 from .partition import (HaloPlan, Partition, apply_node_order, bandwidth,
+                        edge_balanced_blocks, pad_to_blocks,
                         build_halo_plan, degree_balanced_partition,
                         partition_efficiency, rcm_order)
 from .sharded import (HaloAggGraph, build_halo_exchange,

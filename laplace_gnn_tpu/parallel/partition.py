@@ -140,3 +140,54 @@ def partition_efficiency(adj: np.ndarray, part: Partition) -> dict:
         "edge_imbalance": float(np.max(edges) / max(np.mean(edges), 1e-9)),
         "halo_sizes": plan.halo_sizes(),
     }
+
+
+def edge_balanced_blocks(edge_index, n_nodes: int, n_parts: int
+                         ) -> np.ndarray:
+    """Contiguous node-block boundaries balancing *owned edges* (edges by
+    dst) per device, via quantiles of the in-degree prefix sum. Returns
+    ``offsets`` (n_parts+1,), offsets[0]=0, offsets[-1]=n_nodes.
+
+    Equal-size blocks (N/n_parts) can be badly edge-imbalanced on skewed
+    degree distributions — the fleet pads every device's edge list to the
+    maximum, so the slowest (most-edged) device sets the step time."""
+    ei = np.asarray(edge_index)
+    deg = np.bincount(ei[1], minlength=n_nodes).astype(np.int64)
+    cum = np.cumsum(deg)
+    total = cum[-1] if len(cum) else 0
+    targets = total * np.arange(1, n_parts) / n_parts
+    cuts = np.searchsorted(cum, targets, side="left") + 1
+    offsets = np.concatenate([[0], cuts, [n_nodes]])
+    # enforce strictly increasing (degenerate distributions)
+    for i in range(1, n_parts + 1):
+        offsets[i] = min(max(offsets[i], offsets[i - 1] + (i < n_parts)),
+                         n_nodes)
+    offsets[-1] = n_nodes
+    return offsets.astype(np.int64)
+
+
+def pad_to_blocks(edge_index, offsets: np.ndarray, *node_arrays):
+    """Relabel nodes so every block of the variable-width partition
+    ``offsets`` becomes a fixed-width block of size max-block, inserting
+    isolated ghost nodes as padding. The result composes with all the
+    equal-block machinery (shard_map arrays, halo plans) unchanged.
+
+    Returns (new_edge_index, n_new_nodes, node_map, *padded_arrays) where
+    ``node_map[i]`` is node i's new id and padded per-node arrays are
+    zero-filled on ghosts."""
+    offsets = np.asarray(offsets)
+    n_parts = len(offsets) - 1
+    n_nodes = int(offsets[-1])
+    widths = np.diff(offsets)
+    B = int(widths.max())
+    owner = np.repeat(np.arange(n_parts), widths)
+    node_map = owner * B + (np.arange(n_nodes) - offsets[owner])
+    ei = node_map[np.asarray(edge_index)]
+    n_new = n_parts * B
+    out = []
+    for a in node_arrays:
+        a = np.asarray(a)
+        padded = np.zeros((n_new,) + a.shape[1:], a.dtype)
+        padded[node_map] = a
+        out.append(padded)
+    return (ei, n_new, node_map, *out)

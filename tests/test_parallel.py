@@ -457,3 +457,58 @@ def test_sparse_gat_halo_matches_single_device():
     for a, b in zip(jax.tree_util.tree_leaves(g_sh),
                     jax.tree_util.tree_leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_edge_balanced_blocks_reduce_imbalance():
+    from laplace_gnn_tpu.parallel import edge_balanced_blocks, pad_to_blocks
+    rng = np.random.default_rng(9)
+    n = 400
+    # skewed degrees: hubs concentrated among early node ids
+    deg_weight = 1.0 / (np.arange(n) + 1)
+    dst = rng.choice(n, 8000, p=deg_weight / deg_weight.sum())
+    src = rng.integers(0, n, 8000)
+    ei = np.stack([src, dst])
+
+    def imbalance(owner, n_parts=4):
+        counts = np.bincount(owner, minlength=n_parts)
+        return counts.max() / counts.mean()
+
+    equal_owner = dst // (n // 4)
+    offsets = edge_balanced_blocks(ei, n, 4)
+    widths = np.diff(offsets)
+    owner = np.repeat(np.arange(4), widths)[dst]
+    assert imbalance(owner) < 0.5 * imbalance(equal_owner)
+    assert offsets[0] == 0 and offsets[-1] == n
+    assert (np.diff(offsets) > 0).all()
+
+
+def test_pad_to_blocks_preserves_halo_aggregate():
+    from laplace_gnn_tpu.graph.container import sparse_from_edge_index
+    from laplace_gnn_tpu.parallel import (HaloAggGraph, edge_balanced_blocks,
+                                          pad_to_blocks)
+    rng = np.random.default_rng(10)
+    n, d = 100, 8
+    deg_weight = 1.0 / (np.arange(n) + 1)
+    dst = rng.choice(n, 1500, p=deg_weight / deg_weight.sum())
+    src = rng.integers(0, n, 1500)
+    ei = np.stack([src, dst]).astype(np.int64)
+    X = rng.standard_normal((n, d)).astype(np.float32)
+
+    offsets = edge_balanced_blocks(ei, n, 4)
+    ei2, n_new, node_map, X2 = pad_to_blocks(ei, offsets, X)
+    assert n_new % 4 == 0
+    g2 = sparse_from_edge_index(ei2, n_new, normalize=None,
+                                add_self_loops=False)
+    mesh = make_mesh(8, model_parallel=2)
+    hg = HaloAggGraph(mesh, g2)
+    out = np.asarray(jax.jit(hg.spmm)(hg.put(jnp.asarray(X2))))
+
+    # oracle on the original graph
+    g1 = sparse_from_edge_index(ei, n, normalize=None,
+                                add_self_loops=False)
+    ref = np.asarray(g1.spmm(jnp.asarray(X)))
+    np.testing.assert_allclose(out[node_map], ref, rtol=1e-5,
+                               atol=1e-4)
+    # ghost rows receive nothing
+    ghost = np.setdiff1d(np.arange(n_new), node_map)
+    np.testing.assert_allclose(out[ghost], 0.0, atol=1e-6)
