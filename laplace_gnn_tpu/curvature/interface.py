@@ -109,6 +109,8 @@ class CurvatureBackend:
         eye = jnp.eye(C, dtype=f.dtype)
         chunk_size = chunk_size if chunk_size is not None \
             else self.jac_chunk_size
+        if chunk_size is not None and chunk_size < 1:
+            raise ValueError(f"chunk_size must be >= 1, got {chunk_size}")
 
         def row(m, c):
             cot = jnp.zeros_like(f).at[m].set(eye[c])

@@ -242,10 +242,12 @@ class BaseLaplace:
                     n_samples):
         from ..utils.metrics import nll_loss, mse_loss
         if loss is None:
-            # reward modeling predicts as regression (reference :388)
-            loss = (nll_loss
-                    if self.likelihood == Likelihood.CLASSIFICATION.value
-                    else mse_loss)
+            # _validate predicts with fitting=True (like the reference's
+            # validate(), laplace/utils/utils.py:71), so reward modeling
+            # scores as classification
+            loss = (mse_loss
+                    if self.likelihood == Likelihood.REGRESSION.value
+                    else nll_loss)
         results, prior_precs = [], []
         for prior_prec in interval:
             self.prior_precision = prior_prec
@@ -265,7 +267,7 @@ class BaseLaplace:
         outs, targets = [], []
         for X, y in val_loader:
             pred = self(X, pred_type=pred_type, link_approx=link_approx,
-                        n_samples=n_samples)
+                        n_samples=n_samples, fitting=True)
             if isinstance(pred, tuple):
                 pred = pred[0]
             outs.append(np.asarray(pred))
@@ -382,8 +384,10 @@ class ParametricLaplace(BaseLaplace):
             f_var = self.functional_variance(Js)
         return f_mu, f_var
 
-    def _nn_predictive_samples(self, X, n_samples: int = 100, key=None):
+    def _nn_predictive_samples(self, X, n_samples: int = 100, key=None,
+                               likelihood: Optional[str] = None):
         key = key if key is not None else self.next_key()
+        likelihood = likelihood if likelihood is not None else self.likelihood
         samples = self.sample(n_samples, key=key)
         outs = []
         for s in samples:
@@ -391,7 +395,7 @@ class ParametricLaplace(BaseLaplace):
             f = self.model.apply(merge_split(w, self.backend.frozen), X)
             outs.append(f)
         fs = jnp.stack(outs)
-        if self.likelihood == Likelihood.CLASSIFICATION.value:
+        if likelihood == Likelihood.CLASSIFICATION.value:
             fs = jax.nn.softmax(fs, axis=-1)
         return fs
 
@@ -435,7 +439,8 @@ class ParametricLaplace(BaseLaplace):
             return glm_classification_predictive(
                 key, f_mu, f_var, link_approx, n_samples, diagonal_output)
         # nn predictive
-        fs = self._nn_predictive_samples(x, n_samples, key=key)
+        fs = self._nn_predictive_samples(x, n_samples, key=key,
+                                         likelihood=likelihood)
         if likelihood == Likelihood.REGRESSION.value:
             return jnp.mean(fs, axis=0), jnp.var(fs, axis=0)
         return jnp.mean(fs, axis=0)

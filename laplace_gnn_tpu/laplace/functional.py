@@ -173,8 +173,11 @@ class FunctionalLaplace(BaseLaplace):
             return jax.vmap(jnp.diag)(jnp.stack(vars_c, axis=-1))
         K_ss = gamma2 * jnp.einsum("bcp,bep->bce", Js_star, Js_star)
         M, C, P = J_M.shape
+        # test-time output dim may differ from the fit-time C (reward
+        # modeling fits on (B, 2) pairs, predicts (B, 1) rewards)
+        Cs = Js_star.shape[1]
         K_sM = gamma2 * jnp.einsum("bcp,mep->bmec", Js_star,
-                                   J_M).reshape(Js_star.shape[0], M * C, C)
+                                   J_M).reshape(Js_star.shape[0], M * C, Cs)
         v = jax.vmap(lambda k: jax.scipy.linalg.solve_triangular(
             self.Sigma_inv, k, lower=True))(K_sM)
         return K_ss - jnp.einsum("bcm,bcn->bmn", v, v)
@@ -210,16 +213,22 @@ class FunctionalLaplace(BaseLaplace):
                  joint: bool = False,
                  link_approx: str = LinkApprox.PROBIT.value,
                  n_samples: int = 100, diagonal_output: bool = False,
-                 key=None, **model_kwargs):
+                 key=None, fitting: bool = False, **model_kwargs):
         if pred_type != PredType.GP.value:
             raise ValueError("Only gp supported as prediction type.")
         if not self._fitted:
             raise RuntimeError("Functional Laplace has not been fitted to "
                                "any iterable of (feature, target) pairs.")
         key = key if key is not None else self.next_key()
+        # reward modeling: classification while fitting, regression at
+        # prediction (reference :2327)
+        likelihood = self.likelihood
+        if likelihood == Likelihood.REWARD_MODELING.value:
+            likelihood = (Likelihood.CLASSIFICATION.value if fitting
+                          else Likelihood.REGRESSION.value)
         f_mu, f_var = self._glm_predictive_distribution(
-            x, joint=joint and self.likelihood == Likelihood.REGRESSION.value)
-        if self.likelihood == Likelihood.REGRESSION.value:
+            x, joint=joint and likelihood == Likelihood.REGRESSION.value)
+        if likelihood == Likelihood.REGRESSION.value:
             if diagonal_output and not joint:
                 f_var = jnp.diagonal(f_var, axis1=-2, axis2=-1)
             return f_mu, f_var

@@ -94,9 +94,8 @@ class Kron:
 
     def detach(self) -> "Kron":
         """Stop-gradient copy (reference KronDecomposed.detach analog —
-        in JAX 'detach' is jax.lax.stop_gradient on the factors)."""
-        return Kron([[jax.lax.stop_gradient(f) for f in group]
-                     for group in self.kfacs])
+        in JAX 'detach' is jax.lax.stop_gradient over the pytree)."""
+        return jax.lax.stop_gradient(self)
 
     def decompose(self, damping: bool = False) -> "KronDecomposed":
         """Eigendecompose every factor (reference :118-145)."""
@@ -255,11 +254,7 @@ class KronDecomposed:
 
     def detach(self) -> "KronDecomposed":
         """(reference laplace/utils/matrix.py KronDecomposed.detach)"""
-        sg = jax.lax.stop_gradient
-        return KronDecomposed(
-            [[sg(v) for v in group] for group in self.eigenvectors],
-            [[sg(l) for l in group] for group in self.eigenvalues],
-            deltas=sg(self.deltas), damping=self.damping)
+        return jax.lax.stop_gradient(self)
 
     def _block_eigs(self, ls, delta):
         """Effective eigenvalue grid of one block including the prior."""

@@ -178,12 +178,15 @@ def _halo_partition(graph, n_parts: int):
         src_r = np.zeros((n_parts, ER), np.int32)
         dst_r = np.zeros((n_parts, ER), np.int32)
         w_r = np.zeros((n_parts, ER), w.dtype)
+        m_l = np.zeros((n_parts, EL), bool)
+        m_r = np.zeros((n_parts, ER), bool)
         for p in range(n_parts):
             m = (o_dst == p) & (o_src == p)
             k = int(m.sum())
             src_l[p, :k] = src[m] - p * block
             dst_l[p, :k] = dst[m] - p * block
             w_l[p, :k] = w[m]
+            m_l[p, :k] = True
             m = (o_dst == p) & (o_src != p)
             k = int(m.sum())
             sq = o_src[m]
@@ -196,8 +199,10 @@ def _halo_partition(graph, n_parts: int):
             src_r[p, :k] = pos
             dst_r[p, :k] = dst[m] - p * block
             w_r[p, :k] = w[m]
+            m_r[p, :k] = True
         return {"src_l": src_l, "dst_l": dst_l, "w_l": w_l,
-                "src_r": src_r, "dst_r": dst_r, "w_r": w_r}
+                "src_r": src_r, "dst_r": dst_r, "w_r": w_r,
+                "m_l": m_l, "m_r": m_r}
 
     return needed, pack_edges, block
 
@@ -321,7 +326,8 @@ def make_halo_sparse_aggregate(mesh: Mesh, graph, d_features: int = 0):
 
     spec = NamedSharding(mesh, P("graph", None))
     dev = {k: jax.device_put(jnp.asarray(v), spec)
-           for k, v in plan.items() if k not in ("block", "H")}
+           for k, v in plan.items()
+           if k not in ("block", "H", "m_l", "m_r")}
 
     def aggregate_fn(x):
         return sharded(dev["send_idx"], dev["src_l"], dev["dst_l"],
@@ -484,21 +490,25 @@ class HaloAggGraph:
         """Halo-partitioned GAT edge-softmax aggregation (built lazily;
         see :func:`make_halo_gat_aggregate`). ``h`` is (N, heads, F)."""
         if self._gat is None:
-            self._gat = make_halo_gat_aggregate(self.mesh, self.graph)[0]
+            self._gat = make_halo_gat_aggregate(self.mesh, self.graph,
+                                                schedule=self.schedule)[0]
         return self._gat(h, att_src, att_dst, negative_slope)
 
 
-def make_halo_gat_aggregate(mesh: Mesh, graph):
+def make_halo_gat_aggregate(mesh: Mesh, graph, schedule: str = "alltoall"):
     """Halo-partitioned GAT edge-softmax aggregation.
 
     GAT needs, per owned edge, the *transformed* source row h[src] (for
     both the attention logit's a_src term and the message) — h = lin(x) is
     row-wise, so each device transforms its own block and the halo
-    exchange moves h rows exactly like SpMM moves x rows. The edge softmax
-    combines the local and remote edge sets of each destination segment
-    (shared max, summed denominators); padding edges are masked out of the
-    softmax (a zero weight silences a pad in a segment-*sum*, but would
-    still contribute exp(score) to a softmax denominator).
+    exchange moves h rows exactly like SpMM moves x rows (``schedule``:
+    'alltoall' = one fused collective, 'ring' = per-shift ppermute hops,
+    same trade-off as the SpMM schedules). The edge softmax combines the
+    local and remote edge sets of each destination segment (shared max,
+    summed denominators); padding edges are masked out via the plan's
+    explicit real-edge masks — a zero weight silences a pad in a
+    segment-*sum*, but would still contribute exp(score) to a softmax
+    denominator, and real edges may legitimately carry weight 0.
 
     Returns (gat_fn, put) with
     ``gat_fn(h, att_src, att_dst, negative_slope) -> (N, heads, F)``
@@ -526,23 +536,14 @@ def make_halo_gat_aggregate(mesh: Mesh, graph):
 
         return gat_fn_local, (lambda x: jax.device_put(x, spec))
 
-    plan = build_halo_exchange(graph, n_parts)
-    block, H = plan["block"], plan["H"]
-    # pad masks: real edges carry the graph's weight (> 0 for attention
-    # graphs, which are unnormalized), pads carry exactly 0
-    m_l_host = plan["w_l"] > 0
-    m_r_host = plan["w_r"] > 0
+    ring = schedule == "ring"
+    plan = (build_ring_halo_exchange if ring
+            else build_halo_exchange)(graph, n_parts)
+    block = plan["block"]
+    n_shifts = n_parts - 1
 
-    def local(send_idx_b, src_l, dst_l, ml, src_r, dst_r, mr, h_blk,
-              att_s, att_d, slope):
-        heads, F = h_blk.shape[1], h_blk.shape[2]
-        buf = h_blk[send_idx_b[0]]               # (n_parts, H, heads, F)
-        halo = jax.lax.all_to_all(buf, "graph", split_axis=0,
-                                  concat_axis=0, tiled=False)
-        halo_flat = halo.reshape(n_parts * H, heads, F)
-        src_l, dst_l, ml = src_l[0], dst_l[0], ml[0]
-        src_r, dst_r, mr = src_r[0], dst_r[0], mr[0]
-
+    def _edge_softmax(h_blk, halo_flat, src_l, dst_l, ml, src_r, dst_r, mr,
+                      att_s, att_d, slope):
         neg = jnp.asarray(-1e30, h_blk.dtype)
         a_src_blk = jnp.sum(h_blk * att_s, axis=-1)          # (B, heads)
         a_dst_blk = jnp.sum(h_blk * att_d, axis=-1)
@@ -567,30 +568,52 @@ def make_halo_gat_aggregate(mesh: Mesh, graph):
         return out + jax.ops.segment_sum(
             c_r[:, :, None] * halo_flat[src_r], dst_r, num_segments=block)
 
+    def local(src_l, dst_l, ml, src_r, dst_r, mr, h_blk, att_s, att_d,
+              slope, *send_idx):
+        heads, F = h_blk.shape[1], h_blk.shape[2]
+        if ring:
+            halos = []
+            for s, si in enumerate(send_idx, start=1):
+                buf = h_blk[si[0]]                     # (H_s, heads, F)
+                perm = [(q, (q + s) % n_parts) for q in range(n_parts)]
+                halos.append(jax.lax.ppermute(buf, "graph", perm))
+            halo_flat = jnp.concatenate(halos, axis=0)
+        else:
+            buf = h_blk[send_idx[0][0]]          # (n_parts, H, heads, F)
+            halo = jax.lax.all_to_all(buf, "graph", split_axis=0,
+                                      concat_axis=0, tiled=False)
+            halo_flat = halo.reshape(-1, heads, F)
+        return _edge_softmax(h_blk, halo_flat, src_l[0], dst_l[0], ml[0],
+                             src_r[0], dst_r[0], mr[0], att_s, att_d,
+                             slope)
+
+    n_send = n_shifts if ring else 1
     sharded = jax.shard_map(
         local, mesh=mesh,
         in_specs=(P("graph",), P("graph",), P("graph",), P("graph",),
-                  P("graph",), P("graph",), P("graph",),
-                  P("graph", None, None), P(), P(), P()),
+                  P("graph",), P("graph",), P("graph", None, None),
+                  P(), P(), P()) + (P("graph",),) * n_send,
         out_specs=P("graph", None, None))
 
     # Keep the plan as host arrays and convert per call: gat_fn may be
     # (lazily) built inside an enclosing jit trace, where device_put would
     # produce tracers that must not be cached across traces. jnp.asarray
     # of a numpy constant is safe in any trace.
-    host = {"send_idx": plan["send_idx"], "src_l": plan["src_l"],
-            "dst_l": plan["dst_l"], "m_l": m_l_host,
-            "src_r": plan["src_r"], "dst_r": plan["dst_r"],
-            "m_r": m_r_host}
+    host = {k: plan[k] for k in ("src_l", "dst_l", "m_l", "src_r",
+                                 "dst_r", "m_r")}
+    send_host = (tuple(plan["send_idx"]) if ring
+                 else (plan["send_idx"],))
 
     def gat_fn(h, att_src, att_dst, negative_slope):
         a = {k: jnp.asarray(v) for k, v in host.items()}
-        return sharded(a["send_idx"], a["src_l"], a["dst_l"], a["m_l"],
+        send = tuple(jnp.asarray(si) for si in send_host)
+        return sharded(a["src_l"], a["dst_l"], a["m_l"],
                        a["src_r"], a["dst_r"], a["m_r"],
                        h, att_src, att_dst,
-                       jnp.asarray(negative_slope, h.dtype))
+                       jnp.asarray(negative_slope, h.dtype), *send)
 
     def put(x):
         return jax.device_put(x, spec)
 
     return gat_fn, put
+

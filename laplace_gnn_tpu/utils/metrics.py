@@ -86,9 +86,13 @@ class RunningNLLMetric:
         return self.compute()
 
 
-def validate(la, val_loader, loss, pred_type: str = "glm",
+def validate(la, val_loader, loss, pred_type: str = None,
              link_approx: str = "probit", n_samples: int = 100) -> float:
     """Offline predictive validation of a fitted Laplace on a loader
     (reference laplace/utils/utils.py:40-101): runs the posterior
-    predictive over ``val_loader`` and scores it with ``loss``."""
+    predictive (with ``fitting=True``, as the reference does) over
+    ``val_loader`` and scores it with ``loss``. ``pred_type`` defaults to
+    the flavor's native type ('gp' for functional Laplace, else 'glm')."""
+    if pred_type is None:
+        pred_type = getattr(la, "_key", ("", ""))[1] == "gp" and "gp" or "glm"
     return la._validate(val_loader, loss, pred_type, link_approx, n_samples)

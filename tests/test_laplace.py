@@ -309,3 +309,96 @@ def test_reward_modeling_fit_classification_predict_regression():
     # fitting=True flips back to classification semantics on pairs
     probs = la(X, fitting=True)
     np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, atol=1e-5)
+
+
+def test_reward_modeling_gridsearch_and_nn_consistency():
+    from laplace_gnn_tpu import Laplace
+    from laplace_gnn_tpu.nn import MLP
+
+    class RewardMLP(MLP):
+        def apply(self, params, x, **kw):
+            if x.ndim == 3:
+                b, two, d = x.shape
+                out = super().apply(params, x.reshape(-1, d), **kw)
+                return out.reshape(b, two)
+            return super().apply(params, x, **kw)
+
+    rng = np.random.default_rng(1)
+    model = RewardMLP([3, 8, 1], act="tanh")
+    params = model.init(jax.random.PRNGKey(0))
+    X = jnp.asarray(rng.standard_normal((12, 2, 3)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 2, 12))
+    la = Laplace(model, params, "reward_modeling",
+                 subset_of_weights="all", hessian_structure="kron")
+    la.fit([(X, y)])
+
+    # gridsearch validation predicts with fitting=True (classification
+    # semantics) and must actually discriminate between grid points
+    la.optimize_prior_precision(method="gridsearch",
+                                val_loader=[(X, y)], grid_size=8)
+    chosen = float(np.atleast_1d(np.asarray(la.prior_precision))[0])
+    assert np.isfinite(chosen)
+    # the chosen value is data-driven, not silently the grid minimum
+    la2 = Laplace(model, params, "reward_modeling",
+                  subset_of_weights="all", hessian_structure="kron")
+    la2.fit([(X, y)])
+    from laplace_gnn_tpu.utils import nll_loss
+    v = la2._validate([(X, y)], nll_loss, "glm", "probit", 50)
+    assert np.isfinite(v)
+
+    # nn predictive with fitting=True returns probabilities
+    probs = la(X, pred_type="nn", link_approx="mc", fitting=True,
+               n_samples=20)
+    np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, atol=1e-5)
+    assert np.all(np.asarray(probs) >= 0)
+
+
+def test_functional_laplace_reward_modeling_predicts_regression():
+    from laplace_gnn_tpu.laplace import FunctionalLaplace
+    from laplace_gnn_tpu.nn import MLP
+
+    class RewardMLP(MLP):
+        def apply(self, params, x, **kw):
+            if x.ndim == 3:
+                b, two, d = x.shape
+                out = super().apply(params, x.reshape(-1, d), **kw)
+                return out.reshape(b, two)
+            return super().apply(params, x, **kw)
+
+    rng = np.random.default_rng(2)
+    model = RewardMLP([3, 8, 1], act="tanh")
+    params = model.init(jax.random.PRNGKey(0))
+    X = jnp.asarray(rng.standard_normal((10, 2, 3)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 2, 10))
+    la = FunctionalLaplace(model, params, "reward_modeling", n_subset=10)
+    la.fit([(X, y)])
+    x_test = jnp.asarray(rng.standard_normal((4, 3)), jnp.float32)
+    mu, var = la(x_test)                      # regression semantics
+    assert mu.shape == (4, 1)
+    assert np.all(np.isfinite(np.asarray(mu)))
+    probs = la(X, fitting=True)               # classification while fitting
+    np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, atol=1e-4)
+
+
+def test_validate_defaults_to_gp_for_functional():
+    from laplace_gnn_tpu.laplace import FunctionalLaplace
+    from laplace_gnn_tpu.nn import MLP
+    from laplace_gnn_tpu.utils import nll_loss, validate
+    model = MLP([3, 8, 2], act="tanh")
+    params = model.init(jax.random.PRNGKey(0))
+    X = jax.random.normal(jax.random.PRNGKey(1), (10, 3))
+    y = jax.random.randint(jax.random.PRNGKey(2), (10,), 0, 2)
+    la = FunctionalLaplace(model, params, "classification", n_subset=10)
+    la.fit([(X, y)])
+    assert np.isfinite(validate(la, [(X, y)], nll_loss))
+
+
+def test_jacobians_chunk_size_zero_rejected():
+    from laplace_gnn_tpu.curvature.interface import GGNBackend
+    from laplace_gnn_tpu.nn import MLP
+    model = MLP([3, 4, 2], act="tanh")
+    params = model.init(jax.random.PRNGKey(0))
+    X = jax.random.normal(jax.random.PRNGKey(1), (5, 3))
+    be = GGNBackend(model, params, "classification")
+    with pytest.raises(ValueError, match="chunk_size"):
+        be.jacobians(X, chunk_size=0)

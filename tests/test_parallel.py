@@ -512,3 +512,36 @@ def test_pad_to_blocks_preserves_halo_aggregate():
     # ghost rows receive nothing
     ghost = np.setdiff1d(np.arange(n_new), node_map)
     np.testing.assert_allclose(out[ghost], 0.0, atol=1e-6)
+
+
+@pytest.mark.parametrize("schedule", ["alltoall", "ring"])
+def test_sparse_gat_halo_zero_weight_edges_and_ring(schedule):
+    # real edges carrying weight 0 must stay in the attention softmax
+    # (mask comes from the plan, not from w > 0), under both schedules
+    from jax.sharding import NamedSharding
+    from laplace_gnn_tpu.graph.container import sparse_from_edge_index
+    from laplace_gnn_tpu.models import SparseGAT
+    from laplace_gnn_tpu.parallel import HaloAggGraph
+    rng = np.random.default_rng(11)
+    n = 32
+    adj = np.minimum((rng.random((n, n)) < 0.25)
+                     + (rng.random((n, n)) < 0.25).T, 1).astype(float)
+    np.fill_diagonal(adj, 1)
+    rows, cols = np.nonzero(adj)
+    w = np.ones(len(rows))
+    w[::7] = 0.0                              # zero-weight REAL edges
+    g = sparse_from_edge_index(np.stack([cols, rows]), n, weights=w,
+                               normalize=None, add_self_loops=False)
+    mesh = make_mesh(8, model_parallel=2)
+    hg = HaloAggGraph(mesh, g, schedule=schedule)
+    X = rng.standard_normal((n, 8)).astype(np.float32)
+    Xs = jax.device_put(jnp.asarray(X),
+                        NamedSharding(mesh, P("graph", None)))
+    m_sh = SparseGAT(8, 8, 3, 2, Xs, hg, dropout_p=0.0)
+    m_ref = SparseGAT(8, 8, 3, 2, jnp.asarray(X), g, dropout_p=0.0)
+    params = m_ref.init(jax.random.PRNGKey(0))
+    idx = jnp.arange(n)
+    f_sh = jax.jit(lambda p: m_sh.apply(p, idx))(params)
+    np.testing.assert_allclose(np.asarray(f_sh),
+                               np.asarray(m_ref.apply(params, idx)),
+                               atol=1e-5)
