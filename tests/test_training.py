@@ -175,3 +175,22 @@ def test_scan_loop_matches_eager(karate):
     assert r1["valloss"]["epoch"] == r2["valloss"]["epoch"]
     np.testing.assert_allclose(np.asarray(p1["adj"]),
                                np.asarray(p2["adj"]), atol=1e-6)
+
+
+def test_sparse_experiment_cli():
+    from laplace_gnn_tpu.training.sparse_experiment import main
+    r = main(["--dataset", "sbm", "--n_nodes", "400", "--n_classes", "3",
+              "--d_features", "8", "--hidden_channels", "16",
+              "--n_steps", "60", "--n_mc_samples", "8"])
+    assert set(r) == {"map", "laplace"}
+    assert r["map"]["acc"] > 0.5
+    assert np.isfinite(r["laplace"]["nll"])
+
+
+def test_sparse_experiment_cli_gat():
+    from laplace_gnn_tpu.training.sparse_experiment import main
+    r = main(["--dataset", "sbm", "--n_nodes", "300", "--n_classes", "4",
+              "--d_features", "8", "--hidden_channels", "8",
+              "--model_type", "sparsegat", "--heads", "2",
+              "--n_steps", "40", "--n_mc_samples", "5"])
+    assert np.isfinite(r["laplace"]["nll"])
