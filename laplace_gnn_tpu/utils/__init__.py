@@ -5,5 +5,6 @@ from .pytree import (DEFAULT_EXCLUDE, merge_split, named_leaves, parameters_per_
 from .checkpoint import (TrainCheckpointer, load_laplace, load_pytree,
                          save_laplace, save_pytree)
 from .metrics import (RunningNLLMetric, accuracy, brier_score,
-                      expected_calibration_error, mse_loss, nll_loss,
+                      expected_calibration_error, expand_prior_precision,
+                      fix_prior_prec_structure, mse_loss, nll_loss,
                       validate)

@@ -96,3 +96,24 @@ def validate(la, val_loader, loss, pred_type: str = None,
     if pred_type is None:
         pred_type = getattr(la, "_key", ("", ""))[1] == "gp" and "gp" or "glm"
     return la._validate(val_loader, loss, pred_type, link_approx, n_samples)
+
+
+def expand_prior_precision(prior_prec, la):
+    """Expand a scalar/layerwise/diag prior precision to the flat posterior
+    vector of a (fitted or unfitted) Laplace
+    (reference laplace/utils/utils.py:262-292)."""
+    return la._expand_prior_precision(prior_prec)
+
+
+def fix_prior_prec_structure(prior_prec_init, prior_structure: str,
+                             n_layers: int, n_params: int):
+    """Initial prior-precision vector for a given structure
+    (reference laplace/utils/utils.py:294-327)."""
+    import jax.numpy as jnp
+    if prior_structure == "scalar":
+        return jnp.atleast_1d(jnp.asarray(prior_prec_init, jnp.float32))
+    if prior_structure == "layerwise":
+        return jnp.full((n_layers,), prior_prec_init, jnp.float32)
+    if prior_structure == "diag":
+        return jnp.full((n_params,), prior_prec_init, jnp.float32)
+    raise ValueError(f"Invalid prior structure {prior_structure}.")
