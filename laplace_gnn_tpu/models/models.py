@@ -50,7 +50,12 @@ class GCN(BaseGNN):
         # fused=False: composed XLA ops; True: fused Pallas kernel on the
         # live params["adj"]; "int8": adjacency packed once at construction
         # (4x less HBM traffic; valid because GCN never updates it — edits
-        # to params["adj"] are ignored in this mode).
+        # to params["adj"] are ignored in this mode); "auto": int8 when the
+        # graph is large enough that HBM traffic dominates Pallas launch
+        # overhead (measured crossover ~8k nodes, BENCH_NOTES), else the
+        # composed XLA path which wins on small graphs.
+        if fused == "auto":
+            fused = "int8" if self.init_adj.shape[0] >= 8192 else False
         self.fused = fused
         self._static_op = (StaticNormAdjOp(self.init_adj)
                            if fused == "int8" else None)

@@ -162,3 +162,19 @@ def test_gcn_int8_mode_matches_plain():
     np.testing.assert_allclose(
         np.asarray(m_int8.apply(params, jnp.arange(N))),
         np.asarray(m_plain.apply(params, jnp.arange(N))), atol=1e-6)
+
+
+def test_gcn_fused_auto_selects_by_size():
+    rng = np.random.default_rng(3)
+    n = 32
+    adj = np.minimum((rng.random((n, n)) < 0.2)
+                     + (rng.random((n, n)) < 0.2).T, 1).astype(np.float32)
+    np.fill_diagonal(adj, 0)
+    X = jnp.asarray(rng.standard_normal((n, 6)), jnp.float32)
+    m = GCN(6, 8, 3, 2, X, jnp.asarray(adj), dropout_p=0.0, fused="auto")
+    assert m.fused is False            # below the measured 8k crossover
+    p = m.init(jax.random.PRNGKey(0))
+    m_plain = GCN(6, 8, 3, 2, X, jnp.asarray(adj), dropout_p=0.0)
+    np.testing.assert_allclose(np.asarray(m.apply(p, jnp.arange(n))),
+                               np.asarray(m_plain.apply(p, jnp.arange(n))),
+                               atol=1e-6)
