@@ -364,5 +364,11 @@ def main(argv=None) -> dict:
     return run_experiment(vars(args))
 
 
+def cli() -> None:
+    """Console entry point (discards main()'s stats dict so the script
+    exits 0 on success)."""
+    main()
+
+
 if __name__ == "__main__":
     main()

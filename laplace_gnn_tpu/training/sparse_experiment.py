@@ -41,8 +41,6 @@ def argument_parser() -> argparse.ArgumentParser:
     p.add_argument("--heads", type=int, default=4)
     p.add_argument("--n_steps", type=int, default=400)
     p.add_argument("--lr", type=float, default=1e-2)
-    p.add_argument("--train_frac", type=float, default=0.6)
-    p.add_argument("--val_frac", type=float, default=0.2)
     p.add_argument("--subset_of_weights", default="last_layer",
                    choices=["all", "last_layer"])
     p.add_argument("--hessian_structure", default="kron",
@@ -89,6 +87,7 @@ def build_model(args, data, g):
 
 def main(argv=None):
     args = argument_parser().parse_args(argv)
+    args.dataset = args.dataset.lower()
 
     import jax
     import jax.numpy as jnp
@@ -96,7 +95,8 @@ def main(argv=None):
 
     from .. import Laplace
     from ..graph import datasets
-    from ..utils.metrics import expected_calibration_error
+    from ..utils.metrics import (accuracy, expected_calibration_error,
+                                 nll_loss)
 
     synth = dict(n_nodes=args.n_nodes, n_classes=args.n_classes,
                  d_features=args.d_features, seed=args.seed) \
@@ -106,11 +106,9 @@ def main(argv=None):
     print(f"{args.dataset}: N={data.num_nodes} E={g.n_edges} "
           f"C={data.num_classes} d={data.num_features}")
 
-    rng = np.random.default_rng(args.seed)
-    perm = rng.permutation(data.num_nodes)
-    n_tr = int(args.train_frac * data.num_nodes)
-    n_va = int(args.val_frac * data.num_nodes)
-    tr, va, te = perm[:n_tr], perm[n_tr:n_tr + n_va], perm[n_tr + n_va:]
+    # the loader's 60/20/20 ShuffleSplit — same split every driver uses,
+    # so results are comparable across tools for a given seed/dataset
+    tr, va, te = data.split(0)
 
     model = build_model(args, data, g)
     params = model.init(jax.random.PRNGKey(args.seed))
@@ -168,14 +166,18 @@ def main(argv=None):
     probs_bayes = np.asarray(la(te_j, pred_type="nn", link_approx="mc",
                                 n_samples=args.n_mc_samples))
     for name, p in (("map", probs_map), ("laplace", probs_bayes)):
-        acc = float((p.argmax(-1) == y_te).mean())
-        nll = float(-np.log(np.maximum(
-            p[np.arange(len(y_te)), y_te], 1e-12)).mean())
-        ece = float(expected_calibration_error(jnp.asarray(p),
-                                               jnp.asarray(y_te)))
+        acc = float(accuracy(p, y_te))
+        nll = float(nll_loss(p, y_te))
+        ece = float(expected_calibration_error(p, y_te))
         results[name] = {"acc": acc, "nll": nll, "ece": ece}
         print(f"{name:8s} test acc {acc:.4f}  NLL {nll:.4f}  ECE {ece:.4f}")
     return results
+
+
+def cli() -> None:
+    """Console entry point (discards main()'s results dict so the script
+    exits 0 on success)."""
+    main()
 
 
 if __name__ == "__main__":

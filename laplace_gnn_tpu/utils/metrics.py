@@ -110,10 +110,11 @@ def fix_prior_prec_structure(prior_prec_init, prior_structure: str,
     """Initial prior-precision vector for a given structure
     (reference laplace/utils/utils.py:294-327)."""
     import jax.numpy as jnp
+    dtype = jnp.result_type(float)
     if prior_structure == "scalar":
-        return jnp.atleast_1d(jnp.asarray(prior_prec_init, jnp.float32))
+        return jnp.atleast_1d(jnp.asarray(prior_prec_init, dtype))
     if prior_structure == "layerwise":
-        return jnp.full((n_layers,), prior_prec_init, jnp.float32)
+        return jnp.full((n_layers,), prior_prec_init, dtype)
     if prior_structure == "diag":
-        return jnp.full((n_params,), prior_prec_init, jnp.float32)
+        return jnp.full((n_params,), prior_prec_init, dtype)
     raise ValueError(f"Invalid prior structure {prior_structure}.")
