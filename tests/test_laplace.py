@@ -402,3 +402,46 @@ def test_jacobians_chunk_size_zero_rejected():
     be = GGNBackend(model, params, "classification")
     with pytest.raises(ValueError, match="chunk_size"):
         be.jacobians(X, chunk_size=0)
+
+
+def test_link_approximations_match_reference_formulas():
+    # oracle: independent numpy reimplementation of the reference's exact
+    # equations (laplace/baselaplace.py:634-661)
+    from laplace_gnn_tpu.laplace.predictive import (bridge_predictive,
+                                                    probit_predictive)
+    rng = np.random.default_rng(0)
+    B, C = 6, 4
+    f_mu = rng.standard_normal((B, C))
+    A = rng.standard_normal((B, C, C))
+    f_var = np.einsum("bik,bjk->bij", A, A) + 0.1 * np.eye(C)
+
+    # probit: kappa * softmax
+    kappa = 1 / np.sqrt(1.0 + np.pi / 8
+                        * np.diagonal(f_var, axis1=1, axis2=2))
+    z = kappa * f_mu
+    ez = np.exp(z - z.max(-1, keepdims=True))
+    expected = ez / ez.sum(-1, keepdims=True)
+    np.testing.assert_allclose(
+        np.asarray(probit_predictive(jnp.asarray(f_mu),
+                                     jnp.asarray(f_var))),
+        expected, rtol=1e-6)
+
+    # bridge (plain and normalized): zero-mean correction, Dirichlet alpha
+    for norm in (False, True):
+        mu = f_mu.copy()
+        var = f_var.copy()
+        mu = mu - (var.sum(-1) * mu.sum(-1).reshape(-1, 1)
+                   / var.sum((1, 2)).reshape(-1, 1))
+        var = var - (np.einsum("bi,bj->bij", var.sum(-1), var.sum(-2))
+                     / var.sum((1, 2)).reshape(-1, 1, 1))
+        vdiag = np.diagonal(var, axis1=1, axis2=2).copy()
+        if norm:
+            vmean = vdiag.mean(1) / np.sqrt(C / 2)
+            mu = mu / np.sqrt(vmean)[:, None]
+            vdiag = vdiag / vmean[:, None]
+        sum_exp = np.exp(-mu).sum(1)[:, None]
+        alpha = (1 - 2 / C + np.exp(mu) / C ** 2 * sum_exp) / vdiag
+        expected = alpha / alpha.sum(1)[:, None]
+        got = np.asarray(bridge_predictive(jnp.asarray(f_mu),
+                                           jnp.asarray(f_var), norm=norm))
+        np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-7)
