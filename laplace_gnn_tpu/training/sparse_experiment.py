@@ -49,6 +49,10 @@ def argument_parser() -> argparse.ArgumentParser:
     p.add_argument("--ell", type=int, default=1,
                    help="attach the hybrid-ELL format (GCN/SAGE)")
     p.add_argument("--n_mc_samples", type=int, default=30)
+    p.add_argument("--checkpoint_dir", default=None,
+                   help="rolling train checkpoints; restart resumes from "
+                        "the newest one")
+    p.add_argument("--checkpoint_every", type=int, default=100)
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -135,9 +139,26 @@ def main(argv=None):
         p, _ = jax.lax.fori_loop(0, n_steps, body, (params, st))
         return p
 
+    fit = jax.jit(train_loop, static_argnums=1)
     t0 = time.perf_counter()
-    params = jax.block_until_ready(
-        jax.jit(train_loop, static_argnums=1)(params, args.n_steps))
+    if args.checkpoint_dir:
+        # chunked loop with rolling checkpoints: a killed run resumes from
+        # the newest checkpoint on restart (capability the reference lacks)
+        from ..utils.checkpoint import TrainCheckpointer
+        ck = TrainCheckpointer(args.checkpoint_dir)
+        start = 0
+        latest = ck.latest()
+        if latest is not None:
+            start = int(latest["step"])
+            params = latest["state"]["params"]
+            print(f"resumed from checkpoint step {start}")
+        step = args.checkpoint_every
+        for s0 in range(start, args.n_steps, step):
+            n = min(step, args.n_steps - s0)
+            params = jax.block_until_ready(fit(params, n))
+            ck.save(s0 + n, {"params": params})
+    else:
+        params = jax.block_until_ready(fit(params, args.n_steps))
     print(f"{args.n_steps} full-graph steps: "
           f"{time.perf_counter() - t0:.1f}s incl. compile")
 

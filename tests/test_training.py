@@ -1,6 +1,8 @@
 """Training loops: GNN marglik optimization, library marglik_training,
 experiment driver, homophily analysis, datasets."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -193,4 +195,24 @@ def test_sparse_experiment_cli_gat():
               "--d_features", "8", "--hidden_channels", "8",
               "--model_type", "sparsegat", "--heads", "2",
               "--n_steps", "40", "--n_mc_samples", "5"])
+    assert np.isfinite(r["laplace"]["nll"])
+
+
+def test_sparse_experiment_checkpoint_resume(tmp_path):
+    from laplace_gnn_tpu.training.sparse_experiment import main
+    common = ["--dataset", "sbm", "--n_nodes", "300", "--n_classes", "3",
+              "--d_features", "8", "--hidden_channels", "16",
+              "--n_mc_samples", "5", "--checkpoint_dir", str(tmp_path),
+              "--checkpoint_every", "20"]
+    # partial run leaves checkpoints behind
+    main(common + ["--n_steps", "40"])
+    ckpts = sorted(f for f in os.listdir(tmp_path) if f.startswith("ckpt"))
+    assert ckpts, "no checkpoints written"
+    # rerun with a larger budget resumes instead of restarting
+    import io
+    from contextlib import redirect_stdout
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        r = main(common + ["--n_steps", "80"])
+    assert "resumed from checkpoint step 40" in buf.getvalue()
     assert np.isfinite(r["laplace"]["nll"])
