@@ -52,7 +52,7 @@ def _timed_loop(jitted, params, K):
     return time.perf_counter() - t0
 
 
-def bench_jax(X, adj, y, n_train=140, K=20):
+def bench_jax(X, adj, y, n_train=140, K=50):
     import jax
     # persistent compile cache: bench re-runs skip the ~2-5 min XLA compiles
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
@@ -109,11 +109,16 @@ def bench_jax(X, adj, y, n_train=140, K=20):
     log("compiling hyper loop...")
     _timed_loop(hyper_loop, params, 1)
     log("timing hyper loop...")
-    t_hyp_K = _timed_loop(hyper_loop, params, K)
-    t_hyp_2K = _timed_loop(hyper_loop, params, 2 * K)
+    # best-of-3 on the K-vs-2K difference: the tunnel's dispatch jitter is
+    # one-sided (delays only), so the minimum is the noise-robust estimate
+    diffs = []
+    for _ in range(3):
+        t_hyp_K = _timed_loop(hyper_loop, params, K)
+        t_hyp_2K = _timed_loop(hyper_loop, params, 2 * K)
+        diffs.append(t_hyp_2K - t_hyp_K)
 
     t_fwd = max((t_fwd_2K - t_fwd_K) / (3 * KF), 1e-9)
-    t_hyper = max((t_hyp_2K - t_hyp_K) / K, 1e-9)
+    t_hyper = max(min(diffs) / K, 1e-9)
 
     # now safe to fetch for sanity reporting
     nm_val = float(jax.jit(neg_marglik)(params, idx, yy))
