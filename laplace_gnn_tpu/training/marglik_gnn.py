@@ -46,6 +46,20 @@ ADJ_PARAM_FILTERS = {
 }
 
 
+
+
+def _kfac_incomplete(model) -> bool:
+    """True when the model's posterior has non-Linear parameters (e.g. GAT
+    attention vectors) that KFAC cannot represent."""
+    ts = getattr(model, "tap_sites", None)
+    if ts is None:
+        return False
+    try:
+        sites = ts()
+    except TypeError:      # BaseGNN signature takes params (unused values)
+        sites = ts({})
+    return any(s.get("kfac_incomplete") for s in sites)
+
 def make_neg_marglik_fn(model, likelihood: str, hessian_structure: str,
                         subset_of_weights: str, N: int,
                         prior_precision: float = 1.0,
@@ -64,6 +78,12 @@ def make_neg_marglik_fn(model, likelihood: str, hessian_structure: str,
     computed once here and only its eigenvalues enter the traced marglik.
     Measured on TPU v5e this cuts the hyperstep from ~61 ms to the cost of
     the small-factor eigh (see bench.py)."""
+    if hessian_structure == "kron" and _kfac_incomplete(model):
+        # KFAC is Linear-only; the same combination crashes the reference
+        # too — fall back so drivers complete (see fit_laplace)
+        print("make_neg_marglik_fn: falling back to "
+              "hessian_structure='diag' (non-Linear posterior parameters)")
+        hessian_structure = "diag"
     H_factor = 1.0 / temperature
 
     # Precompute the constant input-covariance eigenvalues where valid: the
@@ -388,7 +408,17 @@ def mc_eval(la, indices, labels, pred_type: str = "nn", n_samples: int = 100,
 def fit_laplace(model, params, train_indices, train_labels,
                 subset_of_weights: str = "all",
                 hessian_structure: str = "kron", **kwargs):
-    """Fresh Laplace fit on the training nodes (reference :197-201)."""
+    """Fresh Laplace fit on the training nodes (reference :197-201).
+
+    Models with non-Linear posterior parameters (GAT attention vectors)
+    cannot use KFAC — that combination crashes the reference too, but only
+    after the training epochs have been paid for; here it falls back to
+    'diag' with a printed note so grid runs complete."""
+    if hessian_structure == "kron" and _kfac_incomplete(model):
+        print("fit_laplace: falling back to hessian_structure='diag' "
+              "(KFAC is Linear-only; non-Linear posterior parameters, "
+              "e.g. GAT attention vectors)")
+        hessian_structure = "diag"
     la = Laplace(model, params, "classification",
                  subset_of_weights=subset_of_weights,
                  hessian_structure=hessian_structure, **kwargs)

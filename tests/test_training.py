@@ -216,3 +216,32 @@ def test_sparse_experiment_checkpoint_resume(tmp_path):
         r = main(common + ["--n_steps", "80"])
     assert "resumed from checkpoint step 40" in buf.getvalue()
     assert np.isfinite(r["laplace"]["nll"])
+
+
+def test_gat_kron_falls_back_to_diag(capsys):
+    # GAT's attention vectors are non-Linear posterior params; requesting
+    # kron must fall back to diag (the reference crashes on this combo,
+    # and previously we crashed only after the training epochs were paid)
+    from laplace_gnn_tpu.models import GAT
+    from laplace_gnn_tpu.training.marglik_gnn import (fit_laplace,
+                                                      make_neg_marglik_fn)
+    rng = np.random.default_rng(0)
+    n, d, c = 16, 4, 2
+    adj = np.minimum((rng.random((n, n)) < 0.4)
+                     + (rng.random((n, n)) < 0.4).T, 1).astype(np.float32)
+    np.fill_diagonal(adj, 0)
+    X = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    model = GAT(d, 4, c, 2, X, jnp.asarray(adj), dropout_p=0.0, heads=1)
+    params = model.init(jax.random.PRNGKey(0))
+    y = jnp.asarray(rng.integers(0, c, n))
+    idx = jnp.arange(n)
+
+    fn = make_neg_marglik_fn(model, "classification", "kron", "all", N=n)
+    assert "falling back" in capsys.readouterr().out
+    nm = fn(params, idx, y)
+    assert np.isfinite(float(nm))
+
+    la = fit_laplace(model, params, idx, y, hessian_structure="kron")
+    assert "falling back" in capsys.readouterr().out
+    assert type(la).__name__ == "DiagLaplace"
+    assert np.isfinite(float(la.log_marginal_likelihood()))
