@@ -140,13 +140,17 @@ class LSMRInverseOperator(LinearOperator):
         (x, {"iterations": k, "residual_norm": normr}) where normr is the
         *damped* residual sqrt(||Ax - v||^2 + damp^2 ||x||^2) — what LSMR
         minimizes (matching scipy's lsmr normr), so convergence checks do
-        not misread the regularization floor as non-convergence."""
+        not misread the regularization floor as non-convergence.
+
+        Diagnostics are jnp scalars (not Python int/float), so this
+        composes with jit exactly like :meth:`matvec`; call ``int()``/
+        ``float()`` on them outside traced code if host values are
+        needed."""
         x, k = lsmr(self.op.matvec, self.op.rmatvec, v, damp=self.damp,
                     atol=self.atol, maxiter=self.maxiter)
         r = self.op.matvec(x) - v
         normr = jnp.sqrt(jnp.sum(r * r) + self.damp ** 2 * jnp.sum(x * x))
-        return x, {"iterations": int(k),
-                   "residual_norm": float(normr)}
+        return x, {"iterations": k, "residual_norm": normr}
 
 
 class NeumannInverseOperator(LinearOperator):

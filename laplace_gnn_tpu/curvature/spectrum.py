@@ -23,7 +23,7 @@ def lanczos_tridiag(op, k: int, key=None, v0: Optional[jnp.ndarray] = None):
     P = op.shape[1]
     if v0 is None:
         key = key if key is not None else jax.random.PRNGKey(0)
-        v0 = jax.random.normal(key, (P,))
+        v0 = jax.random.normal(key, (P,), dtype=op.dtype)
     q = v0 / jnp.linalg.norm(v0)
     Q = [q]
     alphas, betas = [], []
@@ -69,7 +69,7 @@ def fast_lanczos(op, ncv: int, key=None, use_scan: bool = True):
     normalized eigenvector of ``evals[i]``."""
     P = op.shape[1]
     key = key if key is not None else jax.random.PRNGKey(0)
-    v0 = jax.random.normal(key, (P,))
+    v0 = jax.random.normal(key, (P,), dtype=op.dtype)
     v0 = v0 / jnp.linalg.norm(v0)
 
     def step(carry, _):

@@ -20,6 +20,7 @@ API parity notes:
 
 from __future__ import annotations
 
+import copy
 import math
 from typing import Any, Callable, Optional
 
@@ -359,15 +360,16 @@ class ParametricLaplace(BaseLaplace):
 
     def _pure_log_marglik(self, prior_precision, sigma_noise):
         """Functional marglik for jit/grad (same math as
-        log_marginal_likelihood, without mutating self)."""
-        old_pp, old_sn = self._prior_precision, self._sigma_noise
-        try:
-            self._prior_precision = jnp.atleast_1d(prior_precision)
-            self._sigma_noise = jnp.asarray(sigma_noise)
-            return self.log_likelihood - 0.5 * (self.log_det_ratio
-                                                + self.scatter)
-        finally:
-            self._prior_precision, self._sigma_noise = old_pp, old_sn
+        log_marginal_likelihood, without mutating self).
+
+        Evaluated on a throwaway shallow copy so no tracer is ever written
+        to the live object — safe under jit/grad with no restore
+        discipline (the fitted state H/loss/mean is shared by reference
+        and read-only here)."""
+        la = copy.copy(self)
+        la._prior_precision = jnp.atleast_1d(prior_precision)
+        la._sigma_noise = jnp.asarray(sigma_noise)
+        return la.log_likelihood - 0.5 * (la.log_det_ratio + la.scatter)
 
     # -- predictive ---------------------------------------------------------
     def functional_variance(self, Js: jnp.ndarray) -> jnp.ndarray:

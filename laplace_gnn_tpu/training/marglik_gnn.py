@@ -21,6 +21,7 @@ import copy
 import os
 import pickle
 import time
+import warnings
 from typing import Any, Callable, Optional
 
 import jax
@@ -81,8 +82,9 @@ def make_neg_marglik_fn(model, likelihood: str, hessian_structure: str,
     if hessian_structure == "kron" and _kfac_incomplete(model):
         # KFAC is Linear-only; the same combination crashes the reference
         # too — fall back so drivers complete (see fit_laplace)
-        print("make_neg_marglik_fn: falling back to "
-              "hessian_structure='diag' (non-Linear posterior parameters)")
+        warnings.warn(
+            "make_neg_marglik_fn: falling back to hessian_structure='diag' "
+            "(non-Linear posterior parameters)", stacklevel=2)
         hessian_structure = "diag"
     H_factor = 1.0 / temperature
 
@@ -413,11 +415,12 @@ def fit_laplace(model, params, train_indices, train_labels,
     Models with non-Linear posterior parameters (GAT attention vectors)
     cannot use KFAC — that combination crashes the reference too, but only
     after the training epochs have been paid for; here it falls back to
-    'diag' with a printed note so grid runs complete."""
+    'diag' with a warning so grid runs complete."""
     if hessian_structure == "kron" and _kfac_incomplete(model):
-        print("fit_laplace: falling back to hessian_structure='diag' "
-              "(KFAC is Linear-only; non-Linear posterior parameters, "
-              "e.g. GAT attention vectors)")
+        warnings.warn(
+            "fit_laplace: falling back to hessian_structure='diag' "
+            "(KFAC is Linear-only; non-Linear posterior parameters, "
+            "e.g. GAT attention vectors)", stacklevel=2)
         hessian_structure = "diag"
     la = Laplace(model, params, "classification",
                  subset_of_weights=subset_of_weights,

@@ -121,9 +121,7 @@ def main(argv=None):
 
     opt = optax.adam(args.lr)
 
-    def train_loop(params, n_steps):
-        st = opt.init(params)
-
+    def train_loop(params, opt_state, n_steps):
         def body(i, carry):
             p, s = carry
 
@@ -136,14 +134,17 @@ def main(argv=None):
             u, s = opt.update(grads, s)
             return optax.apply_updates(p, u), s
 
-        p, _ = jax.lax.fori_loop(0, n_steps, body, (params, st))
-        return p
+        return jax.lax.fori_loop(0, n_steps, body, (params, opt_state))
 
-    fit = jax.jit(train_loop, static_argnums=1)
+    fit = jax.jit(train_loop, static_argnums=2)
+    opt_state = opt.init(params)
     t0 = time.perf_counter()
     if args.checkpoint_dir:
         # chunked loop with rolling checkpoints: a killed run resumes from
-        # the newest checkpoint on restart (capability the reference lacks)
+        # the newest checkpoint on restart (capability the reference lacks).
+        # The optimizer state is part of the carry AND the checkpoint
+        # payload, so a chunked/resumed run is step-for-step identical to
+        # a single uninterrupted fit.
         from ..utils.checkpoint import TrainCheckpointer
         ck = TrainCheckpointer(args.checkpoint_dir)
         start = 0
@@ -151,14 +152,20 @@ def main(argv=None):
         if latest is not None:
             start = int(latest["step"])
             params = latest["state"]["params"]
+            if "opt_state" in latest["state"]:
+                opt_state = jax.tree_util.tree_unflatten(
+                    jax.tree_util.tree_structure(opt_state),
+                    jax.tree_util.tree_leaves(latest["state"]["opt_state"]))
             print(f"resumed from checkpoint step {start}")
         step = args.checkpoint_every
         for s0 in range(start, args.n_steps, step):
             n = min(step, args.n_steps - s0)
-            params = jax.block_until_ready(fit(params, n))
-            ck.save(s0 + n, {"params": params})
+            params, opt_state = jax.block_until_ready(
+                fit(params, opt_state, n))
+            ck.save(s0 + n, {"params": params, "opt_state": opt_state})
     else:
-        params = jax.block_until_ready(fit(params, args.n_steps))
+        params, opt_state = jax.block_until_ready(
+            fit(params, opt_state, args.n_steps))
     print(f"{args.n_steps} full-graph steps: "
           f"{time.perf_counter() - t0:.1f}s incl. compile")
 

@@ -200,10 +200,11 @@ def test_sparse_experiment_cli_gat():
 
 def test_sparse_experiment_checkpoint_resume(tmp_path):
     from laplace_gnn_tpu.training.sparse_experiment import main
-    common = ["--dataset", "sbm", "--n_nodes", "300", "--n_classes", "3",
-              "--d_features", "8", "--hidden_channels", "16",
-              "--n_mc_samples", "5", "--checkpoint_dir", str(tmp_path),
-              "--checkpoint_every", "20"]
+    base = ["--dataset", "sbm", "--n_nodes", "300", "--n_classes", "3",
+            "--d_features", "8", "--hidden_channels", "16",
+            "--n_mc_samples", "5"]
+    common = base + ["--checkpoint_dir", str(tmp_path),
+                     "--checkpoint_every", "20"]
     # partial run leaves checkpoints behind
     main(common + ["--n_steps", "40"])
     ckpts = sorted(f for f in os.listdir(tmp_path) if f.startswith("ckpt"))
@@ -216,9 +217,15 @@ def test_sparse_experiment_checkpoint_resume(tmp_path):
         r = main(common + ["--n_steps", "80"])
     assert "resumed from checkpoint step 40" in buf.getvalue()
     assert np.isfinite(r["laplace"]["nll"])
+    # optimizer state rides in the checkpoint, so the chunked+resumed run
+    # is step-for-step equivalent to one uninterrupted 80-step fit
+    r_straight = main(base + ["--n_steps", "80"])
+    for k in ("map", "laplace"):
+        assert np.allclose(r[k]["nll"], r_straight[k]["nll"], atol=1e-5), \
+            (k, r[k], r_straight[k])
 
 
-def test_gat_kron_falls_back_to_diag(capsys):
+def test_gat_kron_falls_back_to_diag():
     # GAT's attention vectors are non-Linear posterior params; requesting
     # kron must fall back to diag (the reference crashes on this combo,
     # and previously we crashed only after the training epochs were paid)
@@ -236,12 +243,13 @@ def test_gat_kron_falls_back_to_diag(capsys):
     y = jnp.asarray(rng.integers(0, c, n))
     idx = jnp.arange(n)
 
-    fn = make_neg_marglik_fn(model, "classification", "kron", "all", N=n)
-    assert "falling back" in capsys.readouterr().out
+    import pytest
+    with pytest.warns(UserWarning, match="falling back"):
+        fn = make_neg_marglik_fn(model, "classification", "kron", "all", N=n)
     nm = fn(params, idx, y)
     assert np.isfinite(float(nm))
 
-    la = fit_laplace(model, params, idx, y, hessian_structure="kron")
-    assert "falling back" in capsys.readouterr().out
+    with pytest.warns(UserWarning, match="falling back"):
+        la = fit_laplace(model, params, idx, y, hessian_structure="kron")
     assert type(la).__name__ == "DiagLaplace"
     assert np.isfinite(float(la.log_marginal_likelihood()))
