@@ -1,0 +1,439 @@
+"""Execute-the-reference parity tests.
+
+These tests RUN the reference implementation (/root/reference, plain-torch
+modules loaded via tests/reference_loader.py) on the same inputs as our JAX
+implementation and pin the outputs against each other:
+
+- Kron / KronDecomposed algebra (reference laplace/utils/matrix.py)
+- BinarizeSTE / Clipping STE forward+backward, normalize_adj, symmetrize,
+  power_adj (reference gnn/models/utils.py)
+- GCNConv / GraphSAGEConv layer activations with pinned weights
+  (reference gnn/models/layers.py)
+- full GCN / STEGCN per-layer activations + output + adjacency gradient
+  (reference gnn/models/{base_gnn,models}.py)
+- probit / bridge / bridge_norm GLM links
+  (reference laplace/baselaplace.py:570-661, executed via a probe subclass)
+
+Everything runs in float64 (tests/conftest.py enables x64) so the pins are
+tight (atol ~1e-10 unless the op is float32-bound).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from reference_loader import load_reference
+
+import laplace_gnn_tpu.ops.adjacency as ops_adj
+from laplace_gnn_tpu.laplace.kron import Kron as JKron
+from laplace_gnn_tpu.laplace import predictive as jpred
+
+
+@pytest.fixture(scope="module")
+def ref():
+    torch.set_default_dtype(torch.float64)
+    return load_reference()
+
+
+def _t(x):
+    return torch.as_tensor(np.asarray(x), dtype=torch.float64)
+
+
+def _allclose(a, b, atol=1e-10, rtol=1e-8):
+    a = np.asarray(a)
+    b = b.detach().numpy() if isinstance(b, torch.Tensor) else np.asarray(b)
+    np.testing.assert_allclose(a, b, atol=atol, rtol=rtol)
+
+
+def _rand_graph(rng, n, p=0.3):
+    adj = ((rng.random((n, n)) < p) | (rng.random((n, n)) < p).T)
+    adj = adj.astype(np.float64)
+    np.fill_diagonal(adj, 0.0)
+    return adj
+
+
+# ---------------------------------------------------------------------------
+# Kron algebra
+# ---------------------------------------------------------------------------
+
+def _rand_kfacs(rng, shapes):
+    """[(po, pi), (p,)] -> list of factor groups, PSD for 2-D factors."""
+    out = []
+    for group in shapes:
+        facs = []
+        for s in group:
+            if len(s) == 2:
+                M = rng.standard_normal((s[0], s[0]))
+                facs.append(M @ M.T / s[0] + np.eye(s[0]))
+            else:
+                facs.append(rng.random(s) + 0.5)
+        out.append(facs)
+    return out
+
+
+KFAC_SHAPES = [[(3, 3), (4, 4)],   # weight block: (out x out, in x in)
+               [(3, 3)],           # bias block
+               [(5,)]]             # diagonal block
+
+
+def test_kron_algebra_vs_reference(ref):
+    rng = np.random.default_rng(0)
+    kfacs = _rand_kfacs(rng, KFAC_SHAPES)
+    kfacs2 = _rand_kfacs(rng, KFAC_SHAPES)
+
+    tk = ref.l_matrix.Kron([[_t(f) for f in g] for g in kfacs])
+    jk = JKron([[jnp.asarray(f) for f in g] for g in kfacs])
+    tk2 = ref.l_matrix.Kron([[_t(f) for f in g] for g in kfacs2])
+    jk2 = JKron([[jnp.asarray(f) for f in g] for g in kfacs2])
+
+    # logdet / diag / to_matrix of the raw factors
+    _allclose(jk.logdet(), tk.logdet())
+    _allclose(jk.diag(), tk.diag())
+    _allclose(jk.to_matrix(), tk.to_matrix())
+
+    # add + scalar multiply (reference distributes pow(scalar, 1/len(F)))
+    tsum = (tk + tk2) * 0.37
+    jsum = (jk + jk2) * 0.37
+    _allclose(jsum.to_matrix(), tsum.to_matrix())
+
+    # bmm against (B, K, P) and flat (P,)
+    P = int(tk.to_matrix().shape[0])
+    W = rng.standard_normal((2, 3, P))
+    _allclose(jk.bmm(jnp.asarray(W)), tk.bmm(_t(W)))
+    v = rng.standard_normal(P)
+    _allclose(jk.bmm(jnp.asarray(v)), tk.bmm(_t(v)))
+
+
+@pytest.mark.parametrize("damping", [False, True])
+def test_kron_decomposed_vs_reference(ref, damping):
+    """Pins logdet/bmm/inv_square_form of the decomposed posterior precision.
+
+    Reference quirk (pinned in test_kron_decomposed_add_drops_damping): its
+    ``KronDecomposed.__add__`` constructs the result without forwarding the
+    ``damping`` flag, so damping silently turns off once a prior precision is
+    added. To execute the reference's *damped* code path we therefore build
+    its KronDecomposed directly with deltas instead of via ``+``; ours keeps
+    the flag through ``+`` (deliberate fix) so either route is equivalent."""
+    rng = np.random.default_rng(1)
+    kfacs = _rand_kfacs(rng, KFAC_SHAPES)
+    tk = ref.l_matrix.Kron([[_t(f) for f in g] for g in kfacs])
+    jk = JKron([[jnp.asarray(f) for f in g] for g in kfacs])
+
+    delta = 0.75
+    tkd0 = tk.decompose(damping=damping)
+    tkd = ref.l_matrix.KronDecomposed(
+        tkd0.eigenvectors, tkd0.eigenvalues,
+        deltas=torch.full((len(tkd0),), delta, dtype=torch.float64),
+        damping=damping)
+    jkd = jk.decompose(damping=damping) + jnp.asarray([delta])
+
+    _allclose(jkd.logdet(), tkd.logdet())
+    # posterior-precision matvec with exponents used by the library
+    P = int(tk.to_matrix().shape[0])
+    W = rng.standard_normal((2, 3, P))
+    for expo in (1, -1):
+        _allclose(jkd.bmm(jnp.asarray(W), exponent=expo),
+                  tkd._bmm(_t(W), exponent=expo), atol=1e-9)
+    _allclose(jkd.inv_square_form(jnp.asarray(W)),
+              tkd.inv_square_form(_t(W)), atol=1e-9)
+
+
+def test_kron_decomposed_add_drops_damping_in_reference(ref):
+    """Documents the reference quirk our Kron deliberately fixes: reference
+    ``KronDecomposed.__add__`` (laplace/utils/matrix.py:348-358) does not
+    forward ``damping``, so ``decompose(damping=True) + delta`` silently
+    computes the *undamped* logdet. Ours preserves the flag."""
+    rng = np.random.default_rng(1)
+    kfacs = _rand_kfacs(rng, KFAC_SHAPES)
+    tk = ref.l_matrix.Kron([[_t(f) for f in g] for g in kfacs])
+    tkd = tk.decompose(damping=True) + _t([0.5])
+    assert tkd.damping is False  # the quirk
+
+    jk = JKron([[jnp.asarray(f) for f in g] for g in kfacs])
+    jkd = jk.decompose(damping=True) + jnp.asarray([0.5])
+    assert jkd.damping is True  # our fix
+
+
+# ---------------------------------------------------------------------------
+# STE ops + adjacency utilities
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("sign_grad", [False, True])
+@pytest.mark.parametrize("use_mask", [False, True])
+def test_binarize_ste_vs_reference(ref, sign_grad, use_mask):
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((6, 6))
+    g = rng.standard_normal((6, 6))
+    mask = (rng.random((6, 6)) > 0.5).astype(np.float64) if use_mask else None
+    tau = 0.1
+
+    xt = _t(x).requires_grad_(True)
+    yt = ref.gnn_utils.BinarizeSTE.apply(
+        xt, tau, None if mask is None else _t(mask), sign_grad)
+    yt.backward(_t(g))
+
+    yj, vjp = jax.vjp(
+        lambda a: ops_adj.binarize_ste(
+            a, tau, None if mask is None else jnp.asarray(mask), sign_grad),
+        jnp.asarray(x))
+    (gj,) = vjp(jnp.asarray(g))
+
+    _allclose(yj, yt)
+    # the reference's forward returns `.float()` (float32) even under a
+    # float64 default dtype, so its backward round-trips the cotangent
+    # through float32 — pin at float32 resolution
+    _allclose(gj, xt.grad, atol=5e-7, rtol=1e-6)
+
+
+def test_clipping_ste_vs_reference(ref):
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((5, 5)) * 2
+    g = rng.standard_normal((5, 5)) * 2
+
+    xt = _t(x).requires_grad_(True)
+    yt = ref.gnn_utils.Clipping.apply(xt)
+    yt.backward(_t(g))
+
+    yj, vjp = jax.vjp(ops_adj.clip_ste, jnp.asarray(x))
+    (gj,) = vjp(jnp.asarray(g))
+    _allclose(yj, yt)
+    _allclose(gj, xt.grad)
+
+
+def test_normalize_adj_vs_reference(ref):
+    rng = np.random.default_rng(4)
+    # asymmetric weighted matrix with an all-zero row (isolated node)
+    adj = rng.random((7, 7)) * (rng.random((7, 7)) < 0.5)
+    adj[3, :] = 0.0
+    _allclose(ops_adj.normalize_adj(jnp.asarray(adj)),
+              ref.gnn_utils.normalize_adj(_t(adj)))
+
+
+def test_symmetrize_power_adj_vs_reference(ref):
+    rng = np.random.default_rng(5)
+    adj = (rng.random((6, 6)) < 0.4).astype(np.float64)
+    # the reference's standalone symmetrize_adj (gnn/models/utils.py:13-16,
+    # `adj += adj.T`) raises a memory-overlap RuntimeError on torch>=2 and
+    # is dead code; the live symmetrization is inline in BaseGNN.__init__
+    # (gnn/models/base_gnn.py:68-70) — execute that path instead
+    tmodel = ref.gnn_models.GCN(4, 4, 2, 2, _t(rng.standard_normal((6, 4))),
+                                _t(adj.copy()), dropout_p=0.0, symmetric=True)
+    ours = ops_adj.symmetrize_adj(
+        ops_adj.fill_diagonal(jnp.asarray(adj), 1.0))
+    _allclose(ours, tmodel.adj.detach())
+
+    dense = rng.random((6, 6))
+    _allclose(ops_adj.power_adj(jnp.asarray(dense), 3),
+              ref.gnn_utils.power_adj(_t(dense), 3))
+
+
+def test_train_adj_mask_vs_reference(ref):
+    tr = np.array([0, 2, 5])
+    ours = ops_adj.train_adj_mask(8, jnp.asarray(tr))
+    theirs = ref.gnn_utils.train_adj_mask(8, torch.as_tensor(tr))
+    _allclose(ours, theirs)
+
+
+# ---------------------------------------------------------------------------
+# Conv layers with pinned weights
+# ---------------------------------------------------------------------------
+
+def _pin_linear(jparams, tlin):
+    jparams["weight"] = jnp.asarray(tlin.weight.detach().numpy())
+    if tlin.bias is not None:
+        jparams["bias"] = jnp.asarray(tlin.bias.detach().numpy())
+
+
+def test_gcnconv_activations_vs_reference(ref):
+    from laplace_gnn_tpu.models.layers import GCNConv
+    rng = np.random.default_rng(6)
+    n, d_in, d_out = 9, 5, 4
+    adj = _rand_graph(rng, n)
+    x = rng.standard_normal((n, d_in))
+
+    tconv = ref.gnn_layers.GCNConv(d_in, d_out)
+    jconv = GCNConv(d_in, d_out)
+    jp = jconv.init(jax.random.PRNGKey(0), jnp.float64)
+    _pin_linear(jp["lin"], tconv.lin)
+
+    _allclose(jconv.apply(jp, jnp.asarray(adj), jnp.asarray(x)),
+              tconv(_t(adj), _t(x)))
+
+
+def test_sageconv_activations_vs_reference(ref):
+    from laplace_gnn_tpu.models.layers import GraphSAGEConv
+    rng = np.random.default_rng(7)
+    n, d_in, d_out = 9, 5, 4
+    adj = _rand_graph(rng, n)
+    adj[2, :] = 0.0  # isolated node exercises the division guard
+    x = rng.standard_normal((n, d_in))
+
+    tconv = ref.gnn_layers.GraphSAGEConv(d_in, d_out)
+    jconv = GraphSAGEConv(d_in, d_out)
+    jp = jconv.init(jax.random.PRNGKey(0), jnp.float64)
+    _pin_linear(jp["lin"], tconv.lin)
+
+    _allclose(jconv.apply(jp, jnp.asarray(adj), jnp.asarray(x)),
+              tconv(_t(adj), _t(x)))
+
+
+# ---------------------------------------------------------------------------
+# Full models: per-layer activations, outputs, adjacency gradients
+# ---------------------------------------------------------------------------
+
+def _build_pair(ref, model_name, rng, n=10, d=6, h=5, c=3,
+                dtype=np.float64, **kw):
+    """Construct the reference torch model and our model with identical
+    data and pinned weights; returns (tmodel, jmodel, jparams).
+
+    STE models must use float32: the reference's BinarizeSTE forward hard-
+    casts to `.float()`, and float32 adj @ float64 features raises in torch,
+    so the reference simply cannot execute the STE path in float64."""
+    import laplace_gnn_tpu.models as jmodels
+    adj = _rand_graph(rng, n).astype(dtype)
+    X = rng.standard_normal((n, d)).astype(dtype)
+    tdtype = torch.float64 if dtype == np.float64 else torch.float32
+
+    tmodel = getattr(ref.gnn_models, model_name)(
+        d, h, c, 2, torch.as_tensor(X.copy(), dtype=tdtype),
+        torch.as_tensor(adj.copy(), dtype=tdtype), dropout_p=0.0, **kw)
+    tmodel = tmodel.to(tdtype)
+    tmodel.eval()
+    jmodel = getattr(jmodels, model_name)(
+        d, h, c, 2, jnp.asarray(X), jnp.asarray(adj.copy()),
+        dropout_p=0.0, **kw)
+    jparams = jmodel.init(jax.random.PRNGKey(0), jnp.dtype(dtype))
+    for i, tconv in enumerate(tmodel.convs):
+        jparams["convs"][i]["lin"]["weight"] = jnp.asarray(
+            tconv.lin.weight.detach().numpy().astype(dtype))
+        if tconv.lin.bias is not None:
+            jparams["convs"][i]["lin"]["bias"] = jnp.asarray(
+                tconv.lin.bias.detach().numpy().astype(dtype))
+    return tmodel, jmodel, jparams
+
+
+def test_gcn_per_layer_activations_vs_reference(ref):
+    from laplace_gnn_tpu.nn.module import TapCollector
+    rng = np.random.default_rng(8)
+    tmodel, jmodel, jparams = _build_pair(ref, "GCN", rng)
+    idx = np.arange(10)
+
+    # per-Linear-site activations via torch forward hooks vs our taps
+    t_acts = []
+    hooks = [conv.lin.register_forward_hook(
+        lambda m, inp, out: t_acts.append(out.detach()))
+        for conv in tmodel.convs]
+    t_out = tmodel(torch.as_tensor(idx))
+    for hk in hooks:
+        hk.remove()
+
+    taps = TapCollector()
+    j_out = jmodel.apply(jparams, jnp.asarray(idx), taps=taps)
+    j_acts = [s for (_, _, s) in taps.records]
+
+    assert len(t_acts) == len(j_acts) == 2
+    for ja, ta in zip(j_acts, t_acts):
+        _allclose(ja, ta)
+    _allclose(j_out, t_out)
+
+
+@pytest.mark.parametrize("symmetric,sign_grad", [(False, False),
+                                                 (True, False),
+                                                 (False, True)])
+def test_stegcn_output_and_adj_grad_vs_reference(ref, symmetric, sign_grad):
+    rng = np.random.default_rng(9)
+    n, c = 10, 3
+    tmodel, jmodel, jparams = _build_pair(
+        ref, "STEGCN", rng, n=n, c=c, dtype=np.float32,
+        threshold=0.5, symmetric=symmetric, sign_grad=sign_grad)
+    idx = np.arange(n)
+    y = rng.integers(0, c, n)
+
+    t_out = tmodel(torch.as_tensor(idx))
+    t_loss = torch.nn.functional.cross_entropy(t_out, torch.as_tensor(y))
+    t_loss.backward()
+    t_gadj = tmodel.adj.grad
+
+    def j_loss_fn(p):
+        f = jmodel.apply(p, jnp.asarray(idx))
+        logp = jax.nn.log_softmax(f, axis=-1)
+        return -jnp.mean(logp[jnp.arange(n), jnp.asarray(y)])
+
+    j_loss, j_grads = jax.value_and_grad(j_loss_fn)(jparams)
+    # float32 run (see _build_pair docstring) -> float32-resolution pins
+    _allclose(jmodel.apply(jparams, jnp.asarray(idx)), t_out,
+              atol=2e-5, rtol=1e-4)
+    _allclose(j_loss, t_loss, atol=2e-5, rtol=1e-4)
+    _allclose(j_grads["adj"], t_gadj, atol=2e-5, rtol=1e-3)
+
+
+def test_stegcn_full_adj_vs_reference(ref):
+    rng = np.random.default_rng(10)
+    tmodel, jmodel, jparams = _build_pair(ref, "STEGCN", rng,
+                                          dtype=np.float32, threshold=0.5)
+    _allclose(jmodel.full_adj(jparams), tmodel.full_adj())
+
+
+# ---------------------------------------------------------------------------
+# GLM link approximations (reference laplace/baselaplace.py:570-661)
+# ---------------------------------------------------------------------------
+
+def _link_probe(ref, f_mu, f_var):
+    bl = ref.baselaplace
+
+    class _Probe(bl.BaseLaplace):
+        """Bypasses fitting: returns pinned (f_mu, f_var) so the link code
+        in the reference's _glm_forward_call runs standalone."""
+
+        _device = torch.device("cpu")  # shadows the read-only property
+
+        def __init__(self):
+            self._fmu, self._fvar = _t(f_mu), _t(f_var)
+            self.likelihood = bl.Likelihood.CLASSIFICATION
+
+        def _glm_predictive_distribution(self, x, joint=False):
+            return self._fmu.clone(), self._fvar.clone()
+
+    return _Probe()
+
+
+def _rand_predictive(rng, b=6, c=4):
+    f_mu = rng.standard_normal((b, c))
+    A = rng.standard_normal((b, c, c)) * 0.3
+    f_var = np.einsum("bij,bkj->bik", A, A) + 0.05 * np.eye(c)
+    return f_mu, f_var
+
+
+@pytest.mark.parametrize("link", ["probit", "bridge", "bridge_norm"])
+def test_glm_links_vs_reference(ref, link):
+    rng = np.random.default_rng(11)
+    f_mu, f_var = _rand_predictive(rng)
+    probe = _link_probe(ref, f_mu, f_var)
+    t_pred = probe._glm_forward_call(
+        None, ref.baselaplace.Likelihood.CLASSIFICATION, link_approx=link)
+
+    j_pred = jpred.glm_classification_predictive(
+        jax.random.PRNGKey(0), jnp.asarray(f_mu), jnp.asarray(f_var), link)
+    _allclose(j_pred, t_pred)
+
+
+def test_mc_link_statistics_vs_reference(ref):
+    """MC sampling uses different RNGs, so pin the mean/variance instead of
+    the draw: with many samples both must approach the same limit."""
+    rng = np.random.default_rng(12)
+    f_mu, f_var = _rand_predictive(rng, b=3)
+    probe = _link_probe(ref, f_mu, f_var)
+    torch.manual_seed(0)
+    t_pred = probe._glm_forward_call(
+        None, ref.baselaplace.Likelihood.CLASSIFICATION,
+        link_approx="mc", n_samples=30000)
+    j_pred = jpred.glm_classification_predictive(
+        jax.random.PRNGKey(0), jnp.asarray(f_mu), jnp.asarray(f_var),
+        "mc", n_samples=30000)
+    _allclose(j_pred, t_pred, atol=5e-3, rtol=0.05)
