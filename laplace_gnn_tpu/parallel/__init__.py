@@ -1,3 +1,5 @@
+from .distributed import (DcnAggGraph, initialize, make_dcn_halo_aggregate,
+                          make_hybrid_mesh, stripe_edges)
 from .mesh import graph_sharding, make_mesh, replicated, shard_gnn_params
 from .partition import (HaloPlan, Partition, apply_node_order, bandwidth,
                         edge_balanced_blocks, pad_to_blocks,

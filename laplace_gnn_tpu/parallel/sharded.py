@@ -168,10 +168,11 @@ def _halo_partition(graph, n_parts: int):
     needed = [[np.unique(src[(o_dst == p) & (o_src == q)])
                for q in range(n_parts)] for p in range(n_parts)]
 
-    def pack_edges(flat_index):
+    def pack_edges(flat_index, EL_min: int = 0, ER_min: int = 0):
         el = [((o_dst == p) & (o_src == p)).sum() for p in range(n_parts)]
         er = [((o_dst == p) & (o_src != p)).sum() for p in range(n_parts)]
-        EL, ER = max(1, int(max(el))), max(1, int(max(er)))
+        EL = max(1, int(max(el)), EL_min)
+        ER = max(1, int(max(er)), ER_min)
         src_l = np.zeros((n_parts, EL), np.int32)
         dst_l = np.zeros((n_parts, EL), np.int32)
         w_l = np.zeros((n_parts, EL), w.dtype)
@@ -230,7 +231,8 @@ def halo_widths(graph, n_parts: int):
     return W
 
 
-def build_halo_exchange(graph, n_parts: int):
+def build_halo_exchange(graph, n_parts: int, H_min: int = 0,
+                        EL_min: int = 0, ER_min: int = 0):
     """Host-side halo plan for contiguous node-block partitions
     (all_to_all schedule).
 
@@ -241,6 +243,11 @@ def build_halo_exchange(graph, n_parts: int):
     All lists are padded to the fleet-wide maximum H so the exchange is one
     static-shape all_to_all of (n_parts, H, d) per device.
 
+    ``H_min``/``EL_min``/``ER_min`` force larger paddings so plans built
+    for different edge subsets of one graph stack to a common shape (the
+    DCN edge-striping in parallel/distributed.py needs this — remote-edge
+    indices encode H, so H must be fixed *before* packing).
+
     Returns a dict of device-stacked arrays:
       send_idx (n_parts, n_parts, H)  local row q sends to slot (p, k)
       src_l/dst_l/w_l (n_parts, EL)   local edges, dst block-local
@@ -250,9 +257,10 @@ def build_halo_exchange(graph, n_parts: int):
     import numpy as np
 
     needed, pack_edges, block = _halo_partition(graph, n_parts)
-    H = max(1, max((len(needed[p][q])
-                    for p in range(n_parts) for q in range(n_parts)
-                    if p != q), default=0))
+    H = max(1, H_min,
+            max((len(needed[p][q])
+                 for p in range(n_parts) for q in range(n_parts)
+                 if p != q), default=0))
 
     send_idx = np.zeros((n_parts, n_parts, H), np.int32)
     for p in range(n_parts):
@@ -262,7 +270,8 @@ def build_halo_exchange(graph, n_parts: int):
             rows = needed[p][q] - q * block   # local rows on sender q
             send_idx[q, p, :len(rows)] = rows
 
-    plan = pack_edges(lambda p, q, pos: q * H + pos)
+    plan = pack_edges(lambda p, q, pos: q * H + pos,
+                      EL_min=EL_min, ER_min=ER_min)
     plan.update(send_idx=send_idx, block=block, H=H)
     return plan
 

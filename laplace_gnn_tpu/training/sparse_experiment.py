@@ -93,7 +93,17 @@ def main(argv=None):
     args = argument_parser().parse_args(argv)
     args.dataset = args.dataset.lower()
 
+    # multi-host launch path: joins the JAX distributed runtime when the
+    # LAPLACE_GNN_COORDINATOR/_NUM_PROCESSES/_PROCESS_ID env vars are set
+    # (no-op otherwise); must run before any other JAX call
+    from ..parallel.distributed import initialize as distributed_init
+    multihost = distributed_init()
+
     import jax
+    if multihost:
+        print(f"multi-host: process {jax.process_index()}/"
+              f"{jax.process_count()}, {jax.local_device_count()} local / "
+              f"{jax.device_count()} global devices")
     import jax.numpy as jnp
     import optax
 

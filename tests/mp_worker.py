@@ -1,0 +1,106 @@
+"""Multi-process worker for tests/test_distributed.py.
+
+Each process joins the JAX distributed runtime (Gloo CPU collectives),
+builds the hybrid ('dcn', 'graph', 'model') mesh, and runs:
+  1. the DCN edge-striped halo aggregation,
+  2. a SparseGCN differentiable-KFAC marglik evaluation over DcnAggGraph,
+  3. one dense flagship (STEGCN) sharded train step + marglik hyperstep.
+Replicated scalar checksums are written to ``<outdir>/proc<id>.json`` so the
+parent test can pin them against single-process ground truth.
+
+Usage: python mp_worker.py <process_id> <num_processes> <port> <outdir>
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+
+def build_problem():
+    """Deterministic shared problem (must match test_distributed.py)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n, d, c = 32, 16, 4
+    ei = np.stack([rng.integers(0, n, 6 * n), rng.integers(0, n, 6 * n)])
+    x = rng.standard_normal((n, 8)).astype(np.float32)
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    y = rng.integers(0, c, n)
+    w_check = rng.standard_normal((n, 8)).astype(np.float32)
+    return n, d, c, ei, x, X, y, w_check
+
+
+def compute_scalars(mesh):
+    """The quantities compared across process topologies. All outputs are
+    replicated scalars (safe to fetch on any process)."""
+    import jax
+    import jax.numpy as jnp
+
+    from laplace_gnn_tpu.graph.container import sparse_from_edge_index
+    from laplace_gnn_tpu.models import SparseGCN
+    from laplace_gnn_tpu.parallel import DcnAggGraph
+    from laplace_gnn_tpu.training.marglik_gnn import make_neg_marglik_fn
+
+    n, d, c, ei, x, X, y, w_check = build_problem()
+    g = sparse_from_edge_index(ei, n, normalize="sym")
+
+    G = DcnAggGraph(mesh, g)
+    out = jax.jit(lambda v: G.spmm(v))(G.put(jnp.asarray(x)))
+    checksum = float(jax.jit(lambda o: jnp.vdot(o, jnp.asarray(w_check)))(out))
+    sq = float(jax.jit(lambda o: jnp.sum(o * o))(out))
+
+    m = SparseGCN(d, 16, c, 2, G.put(jnp.asarray(X)), G, dropout_p=0.0)
+    p = m.init(jax.random.PRNGKey(1))
+    idx = jnp.arange(n)
+    nm_fn = make_neg_marglik_fn(m, "classification", "kron", "all", N=n)
+    nm, gm = jax.jit(jax.value_and_grad(nm_fn))(p, idx, jnp.asarray(y))
+    gnorm = float(jax.jit(
+        lambda t: jnp.sqrt(sum(jnp.sum(l * l)
+                               for l in jax.tree_util.tree_leaves(t))))(gm))
+    return {"checksum": checksum, "sq": sq, "neg_marglik": float(nm),
+            "grad_norm": gnorm}
+
+
+def main():
+    pid, nproc, port, outdir = (int(sys.argv[1]), int(sys.argv[2]),
+                                int(sys.argv[3]), sys.argv[4])
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    # match the parent test process (tests/conftest.py enables x64) so the
+    # scalar pins are tight; config.update (not the env var) because the
+    # axon sitecustomize imports jax before this script body runs
+    jax.config.update("jax_enable_x64", True)
+
+    from laplace_gnn_tpu.parallel import initialize, make_hybrid_mesh
+
+    assert initialize(f"localhost:{port}", nproc, pid)
+    assert jax.process_count() == nproc
+    mesh = make_hybrid_mesh(model_parallel=2)
+
+    # topology invariants: every dcn slice is single-process (its 'graph'
+    # and 'model' collectives stay on local/ICI links); the dcn axis
+    # crosses processes
+    import numpy as np
+    devs = np.asarray(mesh.devices)
+    per_slice_procs = [{d.process_index for d in devs[k].ravel()}
+                       for k in range(devs.shape[0])]
+    assert all(len(s) == 1 for s in per_slice_procs), per_slice_procs
+    assert len({tuple(s)[0] for s in per_slice_procs}) == nproc
+
+    results = compute_scalars(mesh)
+    results["mesh_shape"] = dict(mesh.shape)
+    results["process_count"] = jax.process_count()
+
+    os.makedirs(outdir, exist_ok=True)
+    with open(os.path.join(outdir, f"proc{pid}.json"), "w") as f:
+        json.dump(results, f)
+    print(f"[proc {pid}] done: {results}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,201 @@
+"""Multi-host (DCN) scale-out tests.
+
+Single-process tests validate the 3-axis hybrid mesh and the DCN
+edge-striped halo aggregation on the virtual 8-device CPU mesh (full-tensor
+parity vs the dense oracle, gradients, differentiable KFAC marglik).
+
+test_multiprocess_matches_single_process then ACTUALLY runs 2 JAX processes
+(Gloo CPU collectives, 4 devices each) via tests/mp_worker.py and pins the
+replicated scalar checksums against the same program on the single-process
+virtual mesh — the correctness evidence SURVEY §2.5 / §7 step 7 asks for
+without multi-host hardware.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from laplace_gnn_tpu.graph.container import sparse_from_edge_index
+from laplace_gnn_tpu.parallel import (DcnAggGraph, make_dcn_halo_aggregate,
+                                      make_hybrid_mesh, stripe_edges)
+
+
+def _graph(n=32, seed=0, e_per_node=6):
+    rng = np.random.default_rng(seed)
+    ei = np.stack([rng.integers(0, n, e_per_node * n),
+                   rng.integers(0, n, e_per_node * n)])
+    return sparse_from_edge_index(ei, n, normalize="sym")
+
+
+def _dense(g):
+    adj = np.zeros((g.n_nodes, g.n_nodes), np.float64)
+    np.add.at(adj, (np.asarray(g.dst), np.asarray(g.src)),
+              np.asarray(g.weights))
+    return jnp.asarray(adj)
+
+
+def test_hybrid_mesh_shapes():
+    mesh = make_hybrid_mesh(dcn_parallel=2, model_parallel=2)
+    assert dict(mesh.shape) == {"dcn": 2, "graph": 2, "model": 2}
+    mesh = make_hybrid_mesh(dcn_parallel=4)
+    assert dict(mesh.shape) == {"dcn": 4, "graph": 2, "model": 1}
+    with pytest.raises(ValueError):
+        make_hybrid_mesh(dcn_parallel=3)
+
+
+@pytest.mark.parametrize("dcn,mp", [(1, 1), (2, 1), (2, 2), (4, 1), (8, 1)])
+def test_dcn_halo_aggregate_matches_dense(dcn, mp):
+    g = _graph()
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((32, 8)))
+    mesh = make_hybrid_mesh(dcn_parallel=dcn, model_parallel=mp)
+    agg, put, stats = make_dcn_halo_aggregate(mesh, g, d_features=8)
+    out = jax.jit(agg)(put(x))
+    ref = _dense(g) @ x
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-10)
+    assert stats["n_dcn"] == dcn
+
+
+def test_stripe_edges_partitions_all_edges():
+    g = _graph()
+    slices = stripe_edges(g, 3)
+    total = sum(len(s.src) for s in slices)
+    assert total == len(np.asarray(g.src))
+    # striped slices differ in size by at most 1
+    sizes = [len(s.src) for s in slices]
+    assert max(sizes) - min(sizes) <= 1
+
+
+def test_dcn_aggregate_gradient_matches_dense():
+    g = _graph()
+    x = jnp.asarray(np.random.default_rng(2).standard_normal((32, 8)))
+    mesh = make_hybrid_mesh(dcn_parallel=2)
+    G = DcnAggGraph(mesh, g)
+    dense = _dense(g)
+
+    gx = jax.jit(jax.grad(lambda v: jnp.sum(jnp.sin(G.spmm(v)))))(G.put(x))
+    gref = jax.grad(lambda v: jnp.sum(jnp.sin(dense @ v)))(x)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gref), atol=1e-9)
+
+
+def test_dcn_sparse_gcn_marglik_matches_local():
+    """Differentiable KFAC marglik of a SparseGCN over the DCN mesh equals
+    the single-device computation on the plain graph."""
+    from laplace_gnn_tpu.models import SparseGCN
+    from laplace_gnn_tpu.training.marglik_gnn import make_neg_marglik_fn
+
+    g = _graph()
+    rng = np.random.default_rng(3)
+    n, d, c = 32, 16, 4
+    X = jnp.asarray(rng.standard_normal((n, d)), jnp.float64)
+    y = jnp.asarray(rng.integers(0, c, n))
+    idx = jnp.arange(n)
+
+    mesh = make_hybrid_mesh(dcn_parallel=2, model_parallel=2)
+    G = DcnAggGraph(mesh, g)
+    m_dcn = SparseGCN(d, 16, c, 2, G.put(X), G, dropout_p=0.0)
+    m_loc = SparseGCN(d, 16, c, 2, X, g, dropout_p=0.0)
+    params = m_loc.init(jax.random.PRNGKey(1), jnp.float64)
+
+    nm_loc, g_loc = jax.value_and_grad(make_neg_marglik_fn(
+        m_loc, "classification", "kron", "all", N=n))(params, idx, y)
+    nm_dcn, g_dcn = jax.jit(jax.value_and_grad(make_neg_marglik_fn(
+        m_dcn, "classification", "kron", "all", N=n)))(params, idx, y)
+
+    np.testing.assert_allclose(float(nm_dcn), float(nm_loc), rtol=1e-8)
+    for a, b in zip(jax.tree_util.tree_leaves(g_dcn),
+                    jax.tree_util.tree_leaves(g_loc)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-8, rtol=1e-6)
+
+
+def test_dense_flagship_on_hybrid_mesh():
+    """The pjit auto-sharding path (row-sharded adj, TP weights) composes
+    with the 3-axis mesh: one train step + marglik hyperstep."""
+    from laplace_gnn_tpu.curvature.losses import cross_entropy_sum
+    from laplace_gnn_tpu.models import STEGCN
+    from laplace_gnn_tpu.parallel.mesh import shard_gnn_params
+    from laplace_gnn_tpu.training.marglik_gnn import make_neg_marglik_fn
+
+    rng = np.random.default_rng(4)
+    n, d, c = 32, 16, 4
+    a = (rng.random((n, n)) < 0.15).astype(np.float64)
+    adj = np.minimum(a + a.T, 1) * (1 - np.eye(n))
+    X = jnp.asarray(rng.standard_normal((n, d)))
+    model = STEGCN(d, 16, c, 2, X, jnp.asarray(adj), dropout_p=0.0)
+    params = model.init(jax.random.PRNGKey(0))
+    y = jnp.asarray(rng.integers(0, c, n))
+    idx = jnp.arange(n)
+
+    loss_ref = float(cross_entropy_sum(model.apply(params, idx), y))
+
+    mesh = make_hybrid_mesh(dcn_parallel=2, model_parallel=2)
+    sharded = jax.device_put(params, shard_gnn_params(mesh, params))
+    nm_fn = make_neg_marglik_fn(model, "classification", "kron", "all", N=n)
+
+    @jax.jit
+    def step(p, idx, y):
+        loss = cross_entropy_sum(model.apply(p, idx), y)
+        nm, gm = jax.value_and_grad(nm_fn)(p, idx, y)
+        return loss, nm, gm["adj"]
+
+    loss, nm, gadj = step(sharded, idx, y)
+    np.testing.assert_allclose(float(loss), loss_ref, rtol=1e-10)
+    assert np.isfinite(float(nm))
+    assert float(jnp.abs(gadj).max()) > 0
+
+
+# ---------------------------------------------------------------------------
+# True multi-process run (2 JAX processes, Gloo CPU collectives)
+# ---------------------------------------------------------------------------
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_multiprocess_matches_single_process(tmp_path):
+    sys.path.insert(0, os.path.dirname(__file__))
+    try:
+        import mp_worker
+    finally:
+        sys.path.pop(0)
+
+    # ground truth: same program on the single-process virtual hybrid mesh
+    mesh = make_hybrid_mesh(dcn_parallel=2, model_parallel=2)
+    want = mp_worker.compute_scalars(mesh)
+
+    worker = os.path.join(os.path.dirname(__file__), "mp_worker.py")
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(pid), "2", str(port), str(tmp_path)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for pid in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=420)
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+
+    for pid in range(2):
+        with open(tmp_path / f"proc{pid}.json") as f:
+            got = json.load(f)
+        assert got["process_count"] == 2
+        assert got["mesh_shape"] == {"dcn": 2, "graph": 2, "model": 2}
+        for k in ("checksum", "sq", "neg_marglik", "grad_norm"):
+            np.testing.assert_allclose(got[k], want[k], rtol=2e-4,
+                                       err_msg=f"proc{pid} {k}")
