@@ -181,16 +181,22 @@ class CurvatureBackend:
 
     def _kron(self, X, y, N: int, fisher_type: Optional[str] = None,
               mc_samples: int = 1, kfac_approx: str = "expand", seed: int = 0,
-              column_chunk: Optional[int] = None):
+              column_chunk: Optional[int] = None, mixed_diag: bool = True):
         """Shared KFAC path (laplace/curvature/curvlinops.py:77-108):
-        compute factors on this batch, rescale A by M/N, multiply by factor."""
+        compute factors on this batch, rescale A by M/N, multiply by factor.
+
+        ``mixed_diag`` (default on): posterior parameters outside dense tap
+        sites (GAT attention vectors) get exact-diagonal blocks instead of
+        raising — mixed-structure KFAC; the reference crashes on this
+        combination (curvlinops/kfac.py:130)."""
         kron, out = compute_kfac_factors(
             self.model, self.params, X, y,
             likelihood=self.likelihood,
             fisher_type=fisher_type or self._kron_fisher_type,
             mc_samples=mc_samples, kfac_approx=kfac_approx,
             exclude=self.exclude, last_layer=self.last_layer,
-            N=N, seed=seed, return_output=True, column_chunk=column_chunk)
+            N=N, seed=seed, return_output=True, column_chunk=column_chunk,
+            mixed_diag=mixed_diag)
         kron = kron * self.factor
         # reuse the factor-computation forward for the loss (one full-graph
         # forward total instead of three)

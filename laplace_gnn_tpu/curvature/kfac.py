@@ -42,10 +42,16 @@ FISHER_TYPES = ("type-2", "mc", "empirical", "forward-only")
 KFAC_APPROX = ("expand", "reduce")
 
 
-def _posterior_sites(model, params, exclude, last_layer):
+def _posterior_sites(model, params, exclude, last_layer,
+                     allow_incomplete: bool = False):
     """Tap sites covering the posterior, with validation that every posterior
     leaf belongs to a site (the analog of KFACLinearOperator's restriction to
-    Linear/Conv2d parameters, curvlinops/kfac.py:130)."""
+    Linear/Conv2d parameters, curvlinops/kfac.py:130).
+
+    ``allow_incomplete=True`` skips the validation — callers then cover the
+    leftover parameters with exact-diagonal blocks (mixed-structure KFAC,
+    see :func:`compute_kfac_factors`). The reference crashes on this case
+    (its KFAC maps Linear/Conv2d only)."""
     mask = posterior_mask(params, exclude)
     sites = model.tap_sites(params)
     if last_layer:
@@ -58,12 +64,76 @@ def _posterior_sites(model, params, exclude, last_layer):
         return any(jax.tree_util.tree_leaves(sub))
 
     sites = [s for s in sites if site_included(s)]
-    if any(s.get("kfac_incomplete") for s in sites):
+    if not allow_incomplete and any(s.get("kfac_incomplete") for s in sites):
         raise ValueError(
             "KFAC is only defined for models whose posterior parameters all "
             "belong to dense (Linear) layers; found non-Linear posterior "
-            "parameters (e.g. GAT attention vectors).")
+            "parameters (e.g. GAT attention vectors). Pass mixed_diag=True "
+            "for Kron-for-Linear + exact-diag-for-the-rest.")
     return sites, mask
+
+
+def _name_to_path(name: str) -> tuple:
+    return tuple(int(p) if p.isdigit() else p for p in name.split("."))
+
+
+def _mixed_diag_blocks(model, w, frozen, X, y, out, uncovered, fisher_type,
+                       likelihood, mc_samples, seed, lossfunc):
+    """Exact per-parameter curvature diagonal for posterior leaves outside
+    every KFAC tap site (GAT attention vectors, GAT biases) — the diagonal
+    counterpart of the KFAC B/A blocks, same Fisher semantics and scale.
+
+    Uses FORWARD mode: for unit direction e_p,
+        diag[p] = sum_{m,k} ( sum_c R[m,c,k] * (J e_p)[m,c] )^2
+    where R is the per-sample middle square root of the chosen Fisher type
+    (type-2: loss-Hessian sqrt; mc: sampled grads / sqrt(mc); empirical:
+    the batch gradient; forward-only: identity). One vmapped jvp per
+    uncovered parameter — cost scales with the (small) number of attention
+    parameters, not with M*C like reverse-mode jacobians would.
+    """
+    names = [n for n, _ in uncovered]
+    shapes = [leaf.shape for _, leaf in uncovered]
+    sizes = [int(np.prod(s)) if s else 1 for s in shapes]
+    offs = np.concatenate([[0], np.cumsum(sizes)])
+    P_u = int(offs[-1])
+
+    def unflatten_u(vec):
+        tree = jax.tree_util.tree_map(jnp.zeros_like, w)
+        for n, s, o, sz in zip(names, shapes, offs[:-1], sizes):
+            tree = set_subtree(tree, _name_to_path(n),
+                               vec[o: o + sz].reshape(s))
+        return tree
+
+    # middle square-root columns R (M, C, K), matching accumulate_B's
+    # fisher-type conventions
+    if fisher_type == "type-2":
+        R = loss_hessian_sqrt(likelihood, out)
+    elif fisher_type == "mc":
+        key0 = jax.random.PRNGKey(seed)
+        cols = []
+        for m in range(mc_samples):
+            k = jax.random.fold_in(key0, m)
+            y_s = _draw_label(k, likelihood, out)
+            cols.append(jax.grad(lambda f: lossfunc(f, y_s))(out))
+        R = jnp.stack(cols, axis=-1) / jnp.sqrt(float(mc_samples))
+    elif fisher_type == "empirical":
+        R = jax.grad(lambda f: lossfunc(f, y))(out)[..., None]
+    else:  # forward-only: identity middle
+        C = out.shape[-1]
+        R = jnp.broadcast_to(jnp.eye(C, dtype=out.dtype),
+                             out.shape + (C,))
+
+    def f_only(w_):
+        return model.apply(merge_split(w_, frozen), X)
+
+    def one(e):
+        _, td = jax.jvp(f_only, (w,), (unflatten_u(e),))   # (M, C)
+        q = jnp.einsum("mck,mc->mk", R, td)
+        return jnp.sum(q * q)
+
+    diag_u = jax.vmap(one)(jnp.eye(P_u, dtype=out.dtype))
+    return {n: diag_u[o: o + sz]
+            for n, o, sz in zip(names, offs[:-1], sizes)}
 
 
 def compute_kfac_factors(model, params, X, y, likelihood: str,
@@ -72,18 +142,25 @@ def compute_kfac_factors(model, params, X, y, likelihood: str,
                          exclude=DEFAULT_EXCLUDE, last_layer: bool = False,
                          N: Optional[int] = None, seed: int = 0,
                          return_output: bool = False,
-                         column_chunk: Optional[int] = None):
+                         column_chunk: Optional[int] = None,
+                         mixed_diag: bool = False):
     """Compute KFAC factors for one batch (X, y); A normalized by ``N``
     (total dataset size — the M/N rescale of laplace/curvature/
     curvlinops.py:46-53 pre-applied). With ``return_output=True`` also
     returns the model output of the single forward pass (callers reuse it
-    for the loss instead of running another full-graph forward)."""
+    for the loss instead of running another full-graph forward).
+
+    ``mixed_diag=True`` enables mixed-structure KFAC: posterior parameters
+    outside every dense tap site (GAT attention vectors/biases) get exact
+    curvature-diagonal single-factor blocks instead of raising — the
+    combination the reference simply crashes on (curvlinops/kfac.py:130)."""
     if fisher_type not in FISHER_TYPES:
         raise ValueError(f"fisher_type must be one of {FISHER_TYPES}")
     if kfac_approx not in KFAC_APPROX:
         raise ValueError(f"kfac_approx must be one of {KFAC_APPROX}")
 
-    sites, mask = _posterior_sites(model, params, exclude, last_layer)
+    sites, mask = _posterior_sites(model, params, exclude, last_layer,
+                                   allow_incomplete=mixed_diag)
     if last_layer:
         ll_path = model.last_layer_path(params)
         ll_mask = jax.tree_util.tree_map(lambda _: False, mask)
@@ -193,10 +270,18 @@ def compute_kfac_factors(model, params, X, y, likelihood: str,
     # -- assemble Kron blocks in posterior tree-leaf order ------------------
     site_by_prefix = {tuple(s["param_path"]): s for s in sites}
     kfacs = []
+    uncovered = []   # (leaf_name, leaf) with no owning dense site
+    slots = []       # kfacs index of each uncovered leaf's placeholder
     for leaf_name, leaf in named_leaves(w):
         if leaf is None:
             continue
-        site = _owning_site(leaf_name, site_by_prefix, sites)
+        site = _owning_site(leaf_name, site_by_prefix, sites,
+                            strict=not mixed_diag)
+        if site is None:                         # mixed: exact-diag block
+            uncovered.append((leaf_name, leaf))
+            slots.append(len(kfacs))
+            kfacs.append(None)
+            continue
         name = site["name"]
         if leaf.ndim == 1:                       # bias
             kfacs.append([B[name]])
@@ -204,6 +289,12 @@ def compute_kfac_factors(model, params, X, y, likelihood: str,
             # weight (out, in*kh*kw): row-major flatten of the torch layout
             # matches vec indexing of B (x) A (see nn/module.py Conv2d)
             kfacs.append([B[name], A[name]])
+    if uncovered:
+        diags = _mixed_diag_blocks(model, w, frozen, X, y, out, uncovered,
+                                   fisher_type, likelihood, mc_samples,
+                                   seed, lossfunc)
+        for slot, (leaf_name, _) in zip(slots, uncovered):
+            kfacs[slot] = [diags[leaf_name]]
     kron = Kron(kfacs)
     if return_output:
         return kron, out
@@ -224,7 +315,8 @@ class KFACOperator:
                  fisher_type: str = "type-2", mc_samples: int = 1,
                  kfac_approx: str = "expand", exclude=DEFAULT_EXCLUDE,
                  last_layer: bool = False, N: Optional[int] = None,
-                 seed: int = 0, check_deterministic: bool = False):
+                 seed: int = 0, check_deterministic: bool = False,
+                 mixed_diag: bool = False):
         self.model = model
         self.params = params
         self.data = list(data) if data is not None else None
@@ -234,13 +326,16 @@ class KFACOperator:
         self.kfac_approx = kfac_approx
         self.exclude = exclude
         self.last_layer = last_layer
+        self.mixed_diag = mixed_diag
         if N is None and self.data is not None:
             N = sum(int(y.shape[0]) for _, y in self.data)
         self.N = N
         self.seed = seed
         self._kron: Optional[Kron] = None
 
-        sites, mask = _posterior_sites(model, params, exclude, last_layer)
+        sites, mask = _posterior_sites(model, params, exclude,
+                                       last_layer,
+                                       allow_incomplete=mixed_diag)
         if last_layer:
             ll_path = model.last_layer_path(params)
             ll_mask = jax.tree_util.tree_map(lambda _: False, mask)
@@ -271,7 +366,7 @@ class KFACOperator:
                     fisher_type=self.fisher_type, mc_samples=self.mc_samples,
                     kfac_approx=self.kfac_approx, exclude=self.exclude,
                     last_layer=self.last_layer, N=self.N,
-                    seed=self.seed + i)
+                    seed=self.seed + i, mixed_diag=self.mixed_diag)
                 total = k if total is None else total + k
             self._kron = total
         return self._kron
@@ -383,7 +478,7 @@ def _draw_label(key, likelihood: str, f: jnp.ndarray):
     return jax.random.categorical(key, f, axis=-1)
 
 
-def _owning_site(leaf_name: str, site_by_prefix, sites):
+def _owning_site(leaf_name: str, site_by_prefix, sites, strict: bool = True):
     parts = leaf_name.split(".")
     for k in range(len(parts), 0, -1):
         # paths may contain ints (list indices)
@@ -392,6 +487,8 @@ def _owning_site(leaf_name: str, site_by_prefix, sites):
         for c in candidates:
             if c in site_by_prefix:
                 return site_by_prefix[c]
+    if not strict:
+        return None
     raise ValueError(
         f"Posterior parameter {leaf_name!r} does not belong to any KFAC tap "
         f"site; KFAC requires all posterior parameters to live in dense "

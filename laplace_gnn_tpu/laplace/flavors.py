@@ -6,6 +6,7 @@ TPU-native counterparts of reference ``laplace/baselaplace.py``
 
 from __future__ import annotations
 
+import copy
 from typing import Optional
 
 import jax
@@ -93,7 +94,12 @@ class KronLaplace(ParametricLaplace):
         super().__init__(model, params, likelihood, **kwargs)
 
     def _init_H(self) -> None:
-        self.H = Kron.init_from_tree(self.backend.w)
+        # The first batch's factors define the block structure (base fit
+        # starts accumulation from None) — this keeps mixed-structure KFAC
+        # (exact-diag blocks for non-dense posterior params, e.g. GAT
+        # attention vectors) intact, where a zero Kron.init_from_tree
+        # would impose the wrong [B, A] structure.
+        self.H = None
 
     def _check_H_init(self):
         if getattr(self, "H_facs", None) is None:
@@ -172,14 +178,12 @@ class KronLaplace(ParametricLaplace):
                              "per-layer.")
 
     def _pure_log_marglik(self, prior_precision, sigma_noise):
-        old_pp, old_sn = self._prior_precision, self._sigma_noise
-        try:
-            self._prior_precision = jnp.atleast_1d(prior_precision)
-            self._sigma_noise = jnp.asarray(sigma_noise)
-            return (self.log_likelihood
-                    - 0.5 * (self.log_det_ratio + self.scatter))
-        finally:
-            self._prior_precision, self._sigma_noise = old_pp, old_sn
+        # throwaway shallow copy: tracer-safe, no restore discipline
+        # (see BaseLaplace._pure_log_marglik)
+        la = copy.copy(self)
+        la._prior_precision = jnp.atleast_1d(prior_precision)
+        la._sigma_noise = jnp.asarray(sigma_noise)
+        return la.log_likelihood - 0.5 * (la.log_det_ratio + la.scatter)
 
     def _H_for_state(self):
         assert isinstance(self.H_facs, Kron)

@@ -117,11 +117,13 @@ class SparseGATConv:
         return out
 
     def tap_sites(self) -> list:
-        # attention vectors are not Linear parameters -> KFAC-incomplete,
-        # same restriction as the dense GATConv / the reference's
-        # Linear+Conv2d-only KFAC (curvlinops/kfac.py:130)
-        return [{"name": self.name, "param_path": (),
-                 "has_bias": self.use_bias, "kfac_incomplete": True}]
+        # The Linear transform is the only dense site; the attention
+        # vectors / output bias are NOT its parameters (kfac_incomplete),
+        # matching the dense GATConv — under mixed-structure KFAC they get
+        # exact-diagonal blocks (the reference's Linear+Conv2d-only KFAC
+        # crashes here, curvlinops/kfac.py:130).
+        return [{"name": self.name, "param_path": ("lin",),
+                 "has_bias": False, "kfac_incomplete": True}]
 
 
 class SparseGCN:

@@ -49,18 +49,6 @@ ADJ_PARAM_FILTERS = {
 
 
 
-def _kfac_incomplete(model) -> bool:
-    """True when the model's posterior has non-Linear parameters (e.g. GAT
-    attention vectors) that KFAC cannot represent."""
-    ts = getattr(model, "tap_sites", None)
-    if ts is None:
-        return False
-    try:
-        sites = ts()
-    except TypeError:      # BaseGNN signature takes params (unused values)
-        sites = ts({})
-    return any(s.get("kfac_incomplete") for s in sites)
-
 def make_neg_marglik_fn(model, likelihood: str, hessian_structure: str,
                         subset_of_weights: str, N: int,
                         prior_precision: float = 1.0,
@@ -79,13 +67,10 @@ def make_neg_marglik_fn(model, likelihood: str, hessian_structure: str,
     computed once here and only its eigenvalues enter the traced marglik.
     Measured on TPU v5e this cuts the hyperstep from ~61 ms to the cost of
     the small-factor eigh (see bench.py)."""
-    if hessian_structure == "kron" and _kfac_incomplete(model):
-        # KFAC is Linear-only; the same combination crashes the reference
-        # too — fall back so drivers complete (see fit_laplace)
-        warnings.warn(
-            "make_neg_marglik_fn: falling back to hessian_structure='diag' "
-            "(non-Linear posterior parameters)", stacklevel=2)
-        hessian_structure = "diag"
+    # Models with non-Linear posterior parameters (GAT attention vectors)
+    # run mixed-structure KFAC: Kron blocks for the Linear sites + exact
+    # curvature-diagonal blocks for the rest (the reference crashes on this
+    # combination, curvlinops/kfac.py:130).
     H_factor = 1.0 / temperature
 
     # Precompute the constant input-covariance eigenvalues where valid: the
@@ -109,7 +94,10 @@ def make_neg_marglik_fn(model, likelihood: str, hessian_structure: str,
         out = 0.0
         for group, site_name in zip(kron.kfacs, group_sites):
             if len(group) == 1:
-                lb = jnp.clip(jnp.linalg.eigvalsh(group[0]), min=0.0)
+                if group[0].ndim == 1:   # mixed-structure exact-diag block
+                    lb = jnp.clip(group[0], min=0.0)
+                else:
+                    lb = jnp.clip(jnp.linalg.eigvalsh(group[0]), min=0.0)
                 out = out + jnp.sum(jnp.log(H_factor * lb + prior_prec))
             else:
                 B, A = group
@@ -123,16 +111,21 @@ def make_neg_marglik_fn(model, likelihood: str, hessian_structure: str,
         return out
 
     def _group_sites(backend):
-        """Owning tap-site name per Kron block (posterior-leaf order)."""
+        """Owning tap-site name per Kron block (posterior-leaf order);
+        None for mixed-structure exact-diag blocks (no dense site)."""
         from ..curvature.kfac import _owning_site, _posterior_sites
         from ..utils.pytree import named_leaves
         sites, _ = _posterior_sites(model, backend.params, backend.exclude,
-                                    backend.last_layer)
+                                    backend.last_layer,
+                                    allow_incomplete=True)
         by_prefix = {tuple(s["param_path"]): s for s in sites}
-        return [
-            _owning_site(name, by_prefix, sites)["name"]
-            for name, leaf in named_leaves(backend.w) if leaf is not None
-        ]
+        out = []
+        for name, leaf in named_leaves(backend.w):
+            if leaf is None:
+                continue
+            site = _owning_site(name, by_prefix, sites, strict=False)
+            out.append(site["name"] if site is not None else None)
+        return out
 
     def fn(params, X, y):
         backend = GGNBackend(model, params, likelihood,
@@ -413,15 +406,11 @@ def fit_laplace(model, params, train_indices, train_labels,
     """Fresh Laplace fit on the training nodes (reference :197-201).
 
     Models with non-Linear posterior parameters (GAT attention vectors)
-    cannot use KFAC — that combination crashes the reference too, but only
-    after the training epochs have been paid for; here it falls back to
-    'diag' with a warning so grid runs complete."""
-    if hessian_structure == "kron" and _kfac_incomplete(model):
-        warnings.warn(
-            "fit_laplace: falling back to hessian_structure='diag' "
-            "(KFAC is Linear-only; non-Linear posterior parameters, "
-            "e.g. GAT attention vectors)", stacklevel=2)
-        hessian_structure = "diag"
+    use mixed-structure KFAC under ``hessian_structure='kron'``: Kron
+    blocks for the Linear sites + exact curvature-diagonal blocks for the
+    attention vectors/biases (the reference crashes on this combination,
+    curvlinops/kfac.py:130 — and only after the training epochs have been
+    paid for)."""
     la = Laplace(model, params, "classification",
                  subset_of_weights=subset_of_weights,
                  hessian_structure=hessian_structure, **kwargs)

@@ -180,17 +180,12 @@ def main(argv=None):
           f"{time.perf_counter() - t0:.1f}s incl. compile")
 
     t0 = time.perf_counter()
-    hessian_structure = args.hessian_structure
-    if args.model_type == "sparsegat" and hessian_structure == "kron":
-        # KFAC covers Linear(/Conv) posterior parameters only (same
-        # restriction as the reference's curvlinops KFAC); GAT's attention
-        # vectors need a structure-free curvature
-        print("sparsegat: falling back to hessian_structure='diag' "
-              "(KFAC is Linear-only; attention vectors in the posterior)")
-        hessian_structure = "diag"
+    # sparsegat + kron runs mixed-structure KFAC (Kron for the Linear
+    # sites, exact diag for the attention vectors) — the reference's
+    # curvlinops KFAC crashes on that combination
     la = Laplace(model, params, "classification",
                  subset_of_weights=args.subset_of_weights,
-                 hessian_structure=hessian_structure)
+                 hessian_structure=args.hessian_structure)
     la.fit([(tr_j, y_tr)])
     la.optimize_prior_precision(method="marglik", n_steps=100)
     print(f"Laplace fit + marglik prior tuning: "

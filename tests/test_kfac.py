@@ -174,3 +174,70 @@ def test_column_chunk_exact():
                                        N=6, column_chunk=chunk)
         np.testing.assert_allclose(np.asarray(chunked.to_matrix()),
                                    np.asarray(full.to_matrix()), atol=1e-12)
+
+
+def test_mixed_diag_kfac_for_gat_matches_exact_ggn_diag():
+    """Mixed-structure KFAC (GAT + kron): Kron blocks for the Linear sites,
+    exact GGN-diagonal single-factor blocks for the attention vectors and
+    biases. The diag blocks must equal the exact GGN diagonal (functorch
+    oracle) on their parameter slices — the combination the reference
+    crashes on (curvlinops/kfac.py:130)."""
+    from laplace_gnn_tpu.models import GAT
+    from laplace_gnn_tpu.utils.pytree import (DEFAULT_EXCLUDE, merge_split,
+                                              posterior_mask, split_by_mask)
+
+    key = jax.random.PRNGKey(0)
+    n = 6
+    Xf = jax.random.normal(key, (n, D))
+    a = (jax.random.uniform(jax.random.PRNGKey(2), (n, n)) < 0.6)
+    adj = jnp.minimum(a + a.T + jnp.eye(n), 1.0).astype(Xf.dtype)
+    model = GAT(D, 4, C, 2, Xf, adj, heads=2, concat=False, dropout_p=0.0)
+    params = model.init(jax.random.PRNGKey(1))
+    idx = jnp.arange(n)
+    y = jnp.asarray([0, 1, 0, 1, 1, 0])
+
+    k = compute_kfac_factors(model, params, idx, y, "classification", N=n,
+                             mixed_diag=True)
+
+    mask = posterior_mask(params, DEFAULT_EXCLUDE)
+    w, frozen = split_by_mask(params, mask)
+    model_fn = lambda w_, X: model.apply(merge_split(w_, frozen), X)
+    G = functorch_ggn(model_fn, "classification", w, [(idx, y)])
+    slices = block_slices(w)
+
+    # one Kron group per posterior leaf, in tree order
+    names = [nm for nm, leaf in named_leaves(w) if leaf is not None]
+    assert len(k.kfacs) == len(names)
+    n_diag = 0
+    for name, group in zip(names, k.kfacs):
+        if len(group) == 1 and group[0].ndim == 1:
+            lo, hi = slices[name]
+            np.testing.assert_allclose(
+                np.asarray(group[0]), np.asarray(jnp.diag(G)[lo:hi]),
+                rtol=1e-6, atol=1e-10, err_msg=name)
+            n_diag += 1
+            assert "lin" not in name  # only non-dense leaves get diag blocks
+    assert n_diag >= 4  # att_src/att_dst (+ biases) across the two convs
+
+
+@pytest.mark.parametrize("fisher_type", ["empirical", "mc", "forward-only"])
+def test_mixed_diag_other_fisher_types_finite(fisher_type):
+    """Mixed diag blocks follow the requested Fisher semantics and stay
+    finite/nonnegative for every type."""
+    from laplace_gnn_tpu.models import GAT
+
+    key = jax.random.PRNGKey(0)
+    n = 6
+    Xf = jax.random.normal(key, (n, D))
+    adj = jnp.ones((n, n))
+    model = GAT(D, 4, C, 2, Xf, adj, heads=2, concat=False, dropout_p=0.0)
+    params = model.init(jax.random.PRNGKey(1))
+    k = compute_kfac_factors(model, params, jnp.arange(n),
+                             jnp.zeros(n, dtype=int), "classification", N=n,
+                             fisher_type=fisher_type, mc_samples=3,
+                             mixed_diag=True)
+    for group in k.kfacs:
+        for f in group:
+            assert np.all(np.isfinite(np.asarray(f)))
+        if len(group) == 1 and group[0].ndim == 1:
+            assert np.all(np.asarray(group[0]) >= -1e-12)

@@ -72,18 +72,26 @@ def test_sparse_sage_laplace_end_to_end():
     np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, atol=1e-5)
 
 
-def test_sparse_gat_kfac_incomplete_and_diag_works():
+def test_sparse_gat_mixed_kron_and_diag_work():
     adj, X, y = make_graph(seed=3)
     ei = np.array(np.nonzero(adj + np.eye(N)))
     g = sparse_from_edge_index(ei, N, normalize=None, add_self_loops=False)
     model = SparseGAT(D, H, C, 2, jnp.asarray(X), g, heads=2, dropout_p=0.0)
     params = model.init(jax.random.PRNGKey(0))
-    # KFAC refuses (attention vectors are not dense-layer params)...
+    # kron runs mixed-structure KFAC (Kron for Linear sites + exact diag for
+    # the attention vectors) — the reference's KFAC crashes on this combo
     la = Laplace(model, params, "classification", subset_of_weights="all",
                  hessian_structure="kron")
+    la.fit([(jnp.arange(N), jnp.asarray(y))])
+    assert type(la).__name__ == "KronLaplace"
+    assert np.isfinite(float(la.log_marginal_likelihood()))
+    assert any(len(gk) == 1 and gk[0].ndim == 1 for gk in la.H_facs.kfacs)
+    # the strict KFAC operator (reference parity) still refuses by default
+    from laplace_gnn_tpu.curvature.kfac import compute_kfac_factors
     with pytest.raises(ValueError, match="dense"):
-        la.fit([(jnp.arange(N), jnp.asarray(y))])
-    # ...but the autodiff-based diag flavor works
+        compute_kfac_factors(model, params, jnp.arange(N), jnp.asarray(y),
+                             "classification", N=N)
+    # the autodiff-based diag flavor keeps working
     la = Laplace(model, params, "classification", subset_of_weights="all",
                  hessian_structure="diag")
     la.fit([(jnp.arange(N), jnp.asarray(y))])

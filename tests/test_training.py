@@ -225,10 +225,11 @@ def test_sparse_experiment_checkpoint_resume(tmp_path):
             (k, r[k], r_straight[k])
 
 
-def test_gat_kron_falls_back_to_diag():
-    # GAT's attention vectors are non-Linear posterior params; requesting
-    # kron must fall back to diag (the reference crashes on this combo,
-    # and previously we crashed only after the training epochs were paid)
+def test_gat_kron_mixed_structure():
+    # GAT's attention vectors are non-Linear posterior params; under kron
+    # they now get exact-diagonal blocks while the Linear sites keep Kron
+    # factors (mixed-structure KFAC). The reference crashes on this combo —
+    # our previous behavior was a wholesale diag fallback.
     from laplace_gnn_tpu.models import GAT
     from laplace_gnn_tpu.training.marglik_gnn import (fit_laplace,
                                                       make_neg_marglik_fn)
@@ -243,13 +244,16 @@ def test_gat_kron_falls_back_to_diag():
     y = jnp.asarray(rng.integers(0, c, n))
     idx = jnp.arange(n)
 
-    import pytest
-    with pytest.warns(UserWarning, match="falling back"):
-        fn = make_neg_marglik_fn(model, "classification", "kron", "all", N=n)
-    nm = fn(params, idx, y)
+    # the jitted marglik closure runs under kron and its gradient flows
+    # into the adjacency (a marglik hyperstep on a GAT)
+    fn = make_neg_marglik_fn(model, "classification", "kron", "all", N=n)
+    nm, gm = jax.jit(jax.value_and_grad(fn))(params, idx, y)
     assert np.isfinite(float(nm))
+    assert np.all(np.isfinite(np.asarray(gm["adj"])))
 
-    with pytest.warns(UserWarning, match="falling back"):
-        la = fit_laplace(model, params, idx, y, hessian_structure="kron")
-    assert type(la).__name__ == "DiagLaplace"
+    la = fit_laplace(model, params, idx, y, hessian_structure="kron")
+    assert type(la).__name__ == "KronLaplace"
+    assert any(len(g) == 1 and g[0].ndim == 1 for g in la.H_facs.kfacs)
     assert np.isfinite(float(la.log_marginal_likelihood()))
+    probs = la(idx, pred_type="glm", link_approx="probit")
+    np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, atol=1e-5)
