@@ -33,6 +33,8 @@ import numpy as np
 from .data import GraphData, adj_to_edge_index, edge_index_to_adj
 
 PLANETOID = ("cora", "citeseer", "pubmed")
+WEBKB = ("texas", "wisconsin", "cornell")
+WIKIPEDIA = ("chameleon", "squirrel")
 
 
 def default_root() -> str:
@@ -47,6 +49,21 @@ def load_data(dataset: str, n_rand_splits: int = 1,
     dataset = dataset.lower()
     if dataset in PLANETOID:
         data = load_planetoid(dataset, root)
+    elif dataset in WEBKB + WIKIPEDIA or dataset == "actor":
+        try:
+            data = load_geom_gcn(
+                dataset, root,
+                sparse_features=(dataset == "actor"),
+                # Actor's bag-of-words is 932-dim (PyG convention)
+                feature_dim=932 if dataset == "actor" else None,
+                # PyG's WebKB applies to_undirected to the raw directed
+                # web links; WikipediaNetwork/Actor keep them as stored
+                undirected=(dataset in WEBKB))
+        except FileNotFoundError:
+            if os.path.exists(os.path.join(root, f"{dataset}.npz")):
+                data = load_npz(dataset, root)
+            else:
+                raise
     elif dataset == "karate":
         data = karate_club()
     elif dataset in ("circle", "moons"):
@@ -144,6 +161,83 @@ def load_planetoid(name: str, root: str) -> GraphData:
     keep = (edge_index[0] < x.shape[0]) & (edge_index[1] < x.shape[0])
     edge_index = edge_index[:, keep]
     return GraphData(x=x, y=y, edge_index=edge_index, name=name)
+
+
+def load_geom_gcn(name: str, root: str, sparse_features: bool = False,
+                  undirected: bool = False,
+                  feature_dim: Optional[int] = None) -> GraphData:
+    """Parse the geom-gcn raw format used by WebKB (texas/wisconsin/
+    cornell), WikipediaNetwork (chameleon/squirrel) and Actor — the
+    datasets the reference loads through torch_geometric
+    (gnn/utils.py:206-212).
+
+    Raw files (header line + tab-separated rows):
+      out1_node_feature_label.txt : ``node_id\\tfeature\\tlabel`` where
+        ``feature`` is a comma-separated dense value list (WebKB/
+        Wikipedia) or, with ``sparse_features=True`` (Actor), a
+        comma-separated list of indices of one-valued entries (932-dim
+        one-hot bag of words);
+      out1_graph_edges.txt        : ``src\\tdst`` directed edges.
+
+    ``undirected=True`` mirrors PyG's WebKB (``to_undirected`` on the raw
+    directed links); Wikipedia/Actor keep edges as stored. Duplicate edges
+    are coalesced either way. Accepted locations:
+    ``<root>/<name>/raw``, ``<root>/<name>/geom_gcn/raw``, ``<root>/<name>``.
+    """
+    candidates = [os.path.join(root, name, "raw"),
+                  os.path.join(root, name.capitalize(), "raw"),
+                  os.path.join(root, name, "geom_gcn", "raw"),
+                  os.path.join(root, name)]
+    raw = next((d for d in candidates
+                if os.path.isfile(os.path.join(
+                    d, "out1_node_feature_label.txt"))), None)
+    if raw is None:
+        raise FileNotFoundError(
+            f"geom-gcn raw files for {name} not found under {root}; expected "
+            f"out1_node_feature_label.txt + out1_graph_edges.txt in one of "
+            f"{candidates} (run scripts/fetch_datasets.py, or provide "
+            f"<root>/{name}.npz)")
+
+    ids, feats, labels = [], [], []
+    with open(os.path.join(raw, "out1_node_feature_label.txt")) as f:
+        next(f)  # header
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            nid, feat, lab = line.split("\t")
+            ids.append(int(nid))
+            labels.append(int(lab))
+            feats.append([int(v) for v in feat.split(",")] if feat else [])
+    n = max(ids) + 1
+    y = np.zeros(n, np.int64)
+    y[np.asarray(ids)] = labels
+    if sparse_features:
+        d = feature_dim or (max((max(fi) for fi in feats if fi),
+                                default=-1) + 1)
+        x = np.zeros((n, d), np.float32)
+        for nid, fi in zip(ids, feats):
+            x[nid, fi] = 1.0
+    else:
+        d = len(feats[0])
+        x = np.zeros((n, d), np.float32)
+        for nid, fi in zip(ids, feats):
+            x[nid] = fi
+
+    edges = []
+    with open(os.path.join(raw, "out1_graph_edges.txt")) as f:
+        next(f)  # header
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            s, t = line.split("\t")
+            edges.append((int(s), int(t)))
+    e = np.asarray(edges, np.int64).T
+    if undirected:
+        e = np.concatenate([e, e[::-1]], axis=1)
+    e = np.unique(e.T, axis=0).T  # coalesce duplicates (sorted)
+    return GraphData(x=x, y=y, edge_index=e, name=name)
 
 
 def load_npz(name: str, root: str) -> GraphData:
@@ -248,13 +342,17 @@ def banana_dataset(root: Optional[str] = None, n_samples: int = 400,
 
 def sbm_dataset(n_nodes: int = 1000, n_classes: int = 4, d_features: int = 32,
                 p_in: float = 0.02, p_out: float = 0.002,
-                seed: int = 0) -> GraphData:
+                feature_signal: float = 1.0, seed: int = 0) -> GraphData:
     """Stochastic block model with class-informative Gaussian features —
     the scale-benchmarking dataset (no reference counterpart; used where the
-    reference would use ogbn-arxiv-scale data)."""
+    reference would use ogbn-arxiv-scale data).
+
+    ``feature_signal`` scales the class means relative to unit noise; with
+    high-dimensional features, lower it (e.g. 3/sqrt(D)) to keep the task
+    Cora-like instead of linearly separable."""
     rng = np.random.default_rng(seed)
     y = rng.integers(0, n_classes, n_nodes)
-    means = rng.normal(0, 1.0, (n_classes, d_features))
+    means = rng.normal(0, 1.0, (n_classes, d_features)) * feature_signal
     x = (means[y] + rng.normal(0, 1.0, (n_nodes, d_features))).astype(
         np.float32)
     rows, cols = [], []

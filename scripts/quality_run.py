@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Flagship quality run: STE-GCN marglik structure learning end-to-end.
+
+Loads a dataset (real Cora once raw files are fetched with
+scripts/fetch_datasets.py — or any name graph.datasets.load_data accepts,
+including the Cora-dimensioned synthetic stand-in ``--dataset sbm-cora``),
+runs the reference's flagship experiment (marglik_optimization: Adam on
+weights, SGD on the STE adjacency, KFAC marglik hypersteps), and prints a
+MAP-vs-Bayes quality table (acc / NLL / ECE) plus learned-graph homophily
+— BASELINE.md metric 3.
+
+    python scripts/quality_run.py --dataset sbm-cora --n_epochs 200
+    python scripts/quality_run.py --dataset cora        # needs raw files
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dataset", default="sbm-cora")
+    p.add_argument("--model_type", default="stegcn",
+                   choices=["stegcn", "gcn", "gat"])
+    p.add_argument("--hidden_channels", type=int, default=64)
+    p.add_argument("--n_epochs", type=int, default=200)
+    p.add_argument("--n_epochs_burnin", type=int, default=100)
+    p.add_argument("--marglik_frequency", type=int, default=20)
+    p.add_argument("--n_hypersteps", type=int, default=10)
+    p.add_argument("--lr", type=float, default=1e-2)
+    p.add_argument("--lr_adj", type=float, default=0.03)
+    p.add_argument("--weight_decay", type=float, default=5e-4)
+    p.add_argument("--hessian_structure", default="kron")
+    p.add_argument("--split", type=int, default=0)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from laplace_gnn_tpu.graph import datasets
+    from laplace_gnn_tpu.graph.data import edge_index_to_adj
+    from laplace_gnn_tpu.graph.homophily import global_homophily
+    from laplace_gnn_tpu.models import GAT, GCN, STEGCN
+    from laplace_gnn_tpu.training.marglik_gnn import (fit_laplace,
+                                                      marglik_optimization)
+    from laplace_gnn_tpu.utils.metrics import (accuracy,
+                                               expected_calibration_error,
+                                               nll_loss)
+
+    if args.dataset == "sbm-cora":
+        # Cora-dimensioned stand-in: N=2708, D=1433, C=7, ~10.5k directed
+        # edges (real Cora raw files are not redistributable in this image;
+        # fetch them with scripts/fetch_datasets.py and pass --dataset cora)
+        data = datasets.load_data("sbm", n_nodes=2708, n_classes=7,
+                                  d_features=1433, p_in=0.0030,
+                                  p_out=0.00015,
+                                  feature_signal=0.1, seed=args.seed)
+    else:
+        data = datasets.load_data(args.dataset)
+    tr, va, te = data.split(args.split % (data.train_indices.shape[1]))
+    adj = edge_index_to_adj(data.edge_index, data.num_nodes).astype(
+        np.float32)
+    print(f"{args.dataset}: N={data.num_nodes} D={data.num_features} "
+          f"C={data.num_classes} E={data.edge_index.shape[1]} "
+          f"|train|={len(tr)}")
+
+    X = jnp.asarray(data.x)
+    cls = {"stegcn": STEGCN, "gcn": GCN, "gat": GAT}[args.model_type]
+    kw = dict(dropout_p=0.0)
+    if args.model_type == "gat":
+        kw["heads"] = 1
+    model = cls(data.num_features, args.hidden_channels, data.num_classes,
+                2, X, jnp.asarray(adj), **kw)
+    params = model.init(jax.random.PRNGKey(args.seed))
+    y = jnp.asarray(data.y)
+
+    t0 = time.perf_counter()
+    results, params_out, losses, val_losses, nms = marglik_optimization(
+        model, params, jnp.asarray(tr), y[jnp.asarray(tr)],
+        val_indices=jnp.asarray(va), val_labels=y[jnp.asarray(va)],
+        n_epochs=args.n_epochs, n_epochs_burnin=args.n_epochs_burnin,
+        marglik_frequency=args.marglik_frequency,
+        n_hypersteps=args.n_hypersteps, lr=args.lr, lr_adj=args.lr_adj,
+        weight_decay=args.weight_decay,
+        hessian_structure=args.hessian_structure,
+        model_type=args.model_type, stop_criterion="marglik",
+        verbose=True, log_every=50)
+    train_s = time.perf_counter() - t0
+    best = results["marglik"]["params"]
+
+    te_j = jnp.asarray(te)
+    y_te = np.asarray(data.y)[te]
+    rows = {}
+    probs_map = np.asarray(jax.nn.softmax(model.apply(best, te_j), axis=-1))
+    la = fit_laplace(model, best, jnp.asarray(tr), y[jnp.asarray(tr)],
+                     hessian_structure=args.hessian_structure)
+    la.optimize_prior_precision(method="marglik", n_steps=100)
+    probs_bayes = np.asarray(la(te_j, pred_type="glm", link_approx="probit"))
+    for nm, pr in (("map", probs_map), ("laplace", probs_bayes)):
+        rows[nm] = {"acc": float(accuracy(pr, y_te)),
+                    "nll": float(nll_loss(pr, y_te)),
+                    "ece": float(expected_calibration_error(pr, y_te))}
+
+    adj_learned = np.asarray(model.full_adj(best))
+    n_learned = int((adj_learned - np.diag(np.diag(adj_learned)) > 0).sum())
+    h0 = global_homophily(adj, data.y)
+    h1 = global_homophily(adj_learned, data.y)
+    print(f"\ntraining: {train_s:.1f}s "
+          f"(best marglik epoch {results['marglik']['epoch']})")
+    print(f"homophily: init {h0:.3f} -> learned {h1:.3f}; "
+          f"edges {data.edge_index.shape[1]} -> {n_learned}")
+    for nm, r in rows.items():
+        print(f"{nm:8s} acc {r['acc']:.4f}  NLL {r['nll']:.4f}  "
+              f"ECE {r['ece']:.4f}")
+    return rows
+
+
+if __name__ == "__main__":
+    main()

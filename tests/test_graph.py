@@ -1,5 +1,7 @@
 """Graph data layer: conversions, datasets, splits, homophily metrics."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -19,6 +21,7 @@ def test_edge_index_adj_roundtrip():
     assert G.adj_to_edge_index(adj2).shape == e2.shape
 
 
+@pytest.mark.slow
 def test_knn_graph():
     rng = np.random.default_rng(0)
     X = rng.standard_normal((20, 3))
@@ -107,3 +110,82 @@ def test_npz_loader(tmp_path):
     d = G.load_data("mini", root=str(tmp_path), n_rand_splits=2)
     assert d.num_nodes == 10 and d.num_classes == 3
     assert d.train_indices.shape[1] == 2
+
+
+def _write_geom_gcn_raw(d, dense=True):
+    """Tiny graph in the exact geom-gcn raw format (header + tab-separated;
+    features comma-separated dense values or one-hot indices)."""
+    os.makedirs(d, exist_ok=True)
+    if dense:
+        rows = ["node_id\tfeature\tlabel",
+                "0\t1,0,1\t0", "1\t0,1,0\t1", "2\t1,1,0\t0",
+                "3\t0,0,1\t2", "4\t1,0,0\t1"]
+    else:  # sparse one-hot indices (Actor style)
+        rows = ["node_id\tfeature\tlabel",
+                "0\t0,2\t0", "1\t1\t1", "2\t0,1\t0",
+                "3\t2\t2", "4\t0\t1"]
+    with open(os.path.join(d, "out1_node_feature_label.txt"), "w") as f:
+        f.write("\n".join(rows) + "\n")
+    edges = ["id1\tid2", "0\t1", "1\t2", "2\t0", "3\t4", "0\t1"]  # dup edge
+    with open(os.path.join(d, "out1_graph_edges.txt"), "w") as f:
+        f.write("\n".join(edges) + "\n")
+
+
+def test_geom_gcn_webkb_loader(tmp_path):
+    from laplace_gnn_tpu.graph import datasets
+    _write_geom_gcn_raw(tmp_path / "texas" / "raw")
+    data = datasets.load_data("texas", root=str(tmp_path))
+    assert data.x.shape == (5, 3)
+    np.testing.assert_array_equal(data.x[0], [1, 0, 1])
+    np.testing.assert_array_equal(data.y, [0, 1, 0, 2, 1])
+    # WebKB: to_undirected + coalesce (duplicate 0->1 collapsed)
+    edges = set(map(tuple, data.edge_index.T))
+    assert (0, 1) in edges and (1, 0) in edges
+    assert (3, 4) in edges and (4, 3) in edges
+    assert data.edge_index.shape[1] == 8
+    # splits attached like every loader
+    tr, va, te = data.split(0)
+    assert len(tr) + len(va) + len(te) == 5
+
+
+def test_geom_gcn_wikipedia_keeps_direction(tmp_path):
+    from laplace_gnn_tpu.graph import datasets
+    _write_geom_gcn_raw(tmp_path / "chameleon" / "raw")
+    data = datasets.load_data("chameleon", root=str(tmp_path))
+    edges = set(map(tuple, data.edge_index.T))
+    assert (3, 4) in edges and (4, 3) not in edges  # directed, coalesced
+    assert data.edge_index.shape[1] == 4
+
+
+def test_geom_gcn_actor_sparse_features(tmp_path):
+    from laplace_gnn_tpu.graph import datasets
+    _write_geom_gcn_raw(tmp_path / "actor" / "raw", dense=False)
+    data = datasets.load_data("actor", root=str(tmp_path))
+    assert data.x.shape == (5, 932)  # PyG's fixed Actor bag-of-words dim
+    np.testing.assert_array_equal(np.nonzero(data.x[0])[0], [0, 2])
+    np.testing.assert_array_equal(np.nonzero(data.x[3])[0], [2])
+    assert data.x.sum() == 7  # total listed indices
+
+
+def test_geom_gcn_falls_back_to_npz(tmp_path):
+    from laplace_gnn_tpu.graph import datasets
+    rng = np.random.default_rng(0)
+    np.savez(tmp_path / "texas.npz",
+             x=rng.standard_normal((6, 4)).astype(np.float32),
+             y=rng.integers(0, 3, 6), edge_index=np.array([[0, 1], [1, 2]]))
+    data = datasets.load_data("texas", root=str(tmp_path))
+    assert data.x.shape == (6, 4)
+
+
+@pytest.mark.slow
+def test_convert_dataset_script(tmp_path):
+    import subprocess
+    import sys
+    _write_geom_gcn_raw(tmp_path / "wisconsin" / "raw")
+    script = os.path.join(os.path.dirname(__file__), "..", "scripts",
+                          "convert_dataset.py")
+    subprocess.run([sys.executable, script, "wisconsin",
+                    "--root", str(tmp_path), "--out", str(tmp_path)],
+                   check=True, capture_output=True)
+    z = np.load(tmp_path / "wisconsin.npz")
+    assert z["x"].shape == (5, 3) and z["edge_index"].shape[0] == 2
