@@ -62,6 +62,7 @@ def test_cg_and_neumann_inverse(psd_op):
     np.testing.assert_allclose(np.asarray(M @ x2), np.asarray(v), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_kfac_inverse():
     model = MLP([3, 4, 2], act="tanh")
     params = model.init(jax.random.PRNGKey(0))
@@ -94,6 +95,7 @@ def test_kfac_inverse():
             assert np.isfinite(out).all()
 
 
+@pytest.mark.slow
 def test_lanczos_eigh_and_spectrum(psd_op):
     op, M = psd_op
     evals, evecs = lanczos_eigh(op, k=30, key=jax.random.PRNGKey(6))
@@ -268,6 +270,7 @@ def test_cached_log_spectrum(psd_op):
     assert np.all(grid > 0) and np.all(np.isfinite(density))
 
 
+@pytest.mark.slow
 def test_incremental_estimators(psd_op):
     from laplace_gnn_tpu.curvature import (
         HutchinsonDiagonalEstimator, HutchinsonSquaredFrobeniusNormEstimator,

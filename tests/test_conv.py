@@ -64,6 +64,7 @@ def test_conv_tap_records_patches():
         + np.asarray(params["bias"]), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_conv_kfac_A_factor_expand_reduce():
     """A = patches^T patches / (N * L) for 'expand' (L = spatial positions),
     A = mean-patch covariance / N for 'reduce' (curvlinops conv semantics)."""
@@ -88,6 +89,7 @@ def test_conv_kfac_A_factor_expand_reduce():
         np.testing.assert_allclose(A0, expect, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_conv_kfac_single_location_exact():
     """With 1x1 spatial output the conv is a plain linear map, so
     single-sample type-2 KFAC blocks equal the exact block-diagonal GGN
@@ -112,6 +114,7 @@ def test_conv_kfac_single_location_exact():
 
 
 @pytest.mark.parametrize("structure", ["kron", "diag", "full"])
+@pytest.mark.slow
 def test_laplace_on_cnn(structure):
     """End-to-end: fit a Laplace flavor on the CNN, finite marglik, GLM
     predictive sums to one."""

@@ -38,6 +38,7 @@ def make_setup(likelihood, seed=0):
 
 
 @pytest.mark.parametrize("likelihood", ["classification", "regression"])
+@pytest.mark.slow
 def test_hessian_operator_vs_oracle(likelihood):
     model, params, model_fn, data = make_setup(likelihood)
     op = HessianOperator(model_fn, likelihood, params, data)
@@ -49,6 +50,7 @@ def test_hessian_operator_vs_oracle(likelihood):
 
 
 @pytest.mark.parametrize("likelihood", ["classification", "regression"])
+@pytest.mark.slow
 def test_ggn_operator_vs_oracle(likelihood):
     model, params, model_fn, data = make_setup(likelihood)
     op = GGNOperator(model_fn, likelihood, params, data)
@@ -58,6 +60,7 @@ def test_ggn_operator_vs_oracle(likelihood):
 
 
 @pytest.mark.parametrize("likelihood", ["classification", "regression"])
+@pytest.mark.slow
 def test_ef_operator_vs_oracle(likelihood):
     model, params, model_fn, data = make_setup(likelihood)
     op = EFOperator(model_fn, likelihood, params, data)
@@ -124,6 +127,7 @@ def test_backend_full_ggn(likelihood):
                                atol=1e-10)
 
 
+@pytest.mark.slow
 def test_backend_full_ef_and_hessian():
     model, params, model_fn, data = make_setup("classification")
     X = jnp.concatenate([d[0] for d in data])
@@ -194,6 +198,7 @@ def test_subnetwork_slicing():
                                atol=1e-10)
 
 
+@pytest.mark.slow
 def test_gnn_backend_excludes_adj():
     from laplace_gnn_tpu.models import STEGCN
     key = jax.random.PRNGKey(0)
@@ -214,6 +219,7 @@ def test_gnn_backend_excludes_adj():
     assert np.isfinite(np.asarray(Hb)).all()
 
 
+@pytest.mark.slow
 def test_jacobians_chunked_matches_vmapped():
     from laplace_gnn_tpu.curvature.interface import GGNBackend
     from laplace_gnn_tpu.nn import MLP
@@ -233,6 +239,7 @@ def test_jacobians_chunked_matches_vmapped():
                                rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_public_validate():
     from laplace_gnn_tpu import DiagLaplace
     from laplace_gnn_tpu.nn import MLP

@@ -87,6 +87,7 @@ def test_dcn_aggregate_gradient_matches_dense():
     np.testing.assert_allclose(np.asarray(gx), np.asarray(gref), atol=1e-9)
 
 
+@pytest.mark.slow
 def test_dcn_sparse_gcn_marglik_matches_local():
     """Differentiable KFAC marglik of a SparseGCN over the DCN mesh equals
     the single-device computation on the plain graph."""
@@ -118,6 +119,7 @@ def test_dcn_sparse_gcn_marglik_matches_local():
                                    atol=1e-8, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_dense_flagship_on_hybrid_mesh():
     """The pjit auto-sharding path (row-sharded adj, TP weights) composes
     with the 3-axis mesh: one train step + marglik hyperstep."""

@@ -5,6 +5,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
 
 def run_example(name):
     runpy.run_path(f"examples/{name}", run_name="__main__")

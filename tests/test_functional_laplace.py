@@ -29,6 +29,7 @@ def regression_setup(seed=0, M=40, d=1, c=1):
     (FullLLLaplace, FunctionalLLLaplace),
 ])
 @pytest.mark.parametrize("independent_outputs", [True, False])
+@pytest.mark.slow
 def test_gp_equivalence_regression(laplace_pair, independent_outputs):
     model, params, X, y, loader = regression_setup()
     parametric_cls, functional_cls = laplace_pair
@@ -53,6 +54,7 @@ def test_gp_equivalence_regression(laplace_pair, independent_outputs):
     (FullLaplace, FunctionalLaplace),
     (FullLLLaplace, FunctionalLLLaplace),
 ])
+@pytest.mark.slow
 def test_gp_equivalence_regression_multivariate(laplace_pair, c=3):
     model, params, X, y, loader = regression_setup(d=c, c=c)
     parametric_cls, functional_cls = laplace_pair
@@ -72,6 +74,7 @@ def test_gp_equivalence_regression_multivariate(laplace_pair, c=3):
 
 
 @pytest.mark.parametrize("independent_outputs", [True, False])
+@pytest.mark.slow
 def test_gp_equivalence_classification(independent_outputs, c=2):
     keys = jax.random.split(jax.random.PRNGKey(3), 3)
     M, d = 40, 4
@@ -96,6 +99,7 @@ def test_gp_equivalence_classification(independent_outputs, c=2):
                                   np.argmax(np.asarray(p_gp), -1))
 
 
+@pytest.mark.slow
 def test_gp_marglik_and_joint():
     model, params, X, y, loader = regression_setup()
     gp_la = FunctionalLaplace(model, params, "regression", n_subset=len(X),
@@ -117,6 +121,7 @@ def test_gp_marglik_and_joint():
                                np.asarray(f_var).ravel(), atol=1e-8)
 
 
+@pytest.mark.slow
 def test_gp_subset_of_data():
     model, params, X, y, loader = regression_setup(M=50)
     gp_la = FunctionalLaplace(model, params, "regression", n_subset=20,

@@ -37,6 +37,7 @@ def setup(likelihood, M=1, seed=0):
 
 
 @pytest.mark.parametrize("likelihood", ["classification", "regression"])
+@pytest.mark.slow
 def test_single_sample_kfac_equals_blockdiag_ggn(likelihood):
     """For a single datum, KFAC weight blocks B (x) A equal the exact
     layer-diagonal GGN blocks (no expectation approximation)."""
@@ -74,6 +75,7 @@ def test_single_sample_empirical_equals_ef_blocks():
         cur += n
 
 
+@pytest.mark.slow
 def test_A_scaling_with_N():
     model, params, X, y = setup("classification", M=4)
     k1 = compute_kfac_factors(model, params, X, y, "classification", N=4)
@@ -85,6 +87,7 @@ def test_A_scaling_with_N():
                                np.asarray(k2.kfacs[1][0]), atol=1e-10)
 
 
+@pytest.mark.slow
 def test_mc_close_to_type2():
     model, params, X, y = setup("classification", M=8, seed=1)
     kt2 = compute_kfac_factors(model, params, X, y, "classification",
@@ -120,6 +123,7 @@ def test_expand_reduce_2d_equal_B():
                                        atol=1e-10)
 
 
+@pytest.mark.slow
 def test_kfac_differentiable_wrt_adjacency():
     """The flagship property: d(sum of factors)/d(adj) flows through the
     tap-based factor computation (reference needed curvlinops/kfac.py:637-661
@@ -176,6 +180,7 @@ def test_column_chunk_exact():
                                    np.asarray(full.to_matrix()), atol=1e-12)
 
 
+@pytest.mark.slow
 def test_mixed_diag_kfac_for_gat_matches_exact_ggn_diag():
     """Mixed-structure KFAC (GAT + kron): Kron blocks for the Linear sites,
     exact GGN-diagonal single-factor blocks for the attention vectors and
@@ -221,6 +226,7 @@ def test_mixed_diag_kfac_for_gat_matches_exact_ggn_diag():
 
 
 @pytest.mark.parametrize("fisher_type", ["empirical", "mc", "forward-only"])
+@pytest.mark.slow
 def test_mixed_diag_other_fisher_types_finite(fisher_type):
     """Mixed diag blocks follow the requested Fisher semantics and stay
     finite/nonnegative for every type."""

@@ -22,6 +22,7 @@ def setup(M=8, seed=0):
     return model, params, X, y
 
 
+@pytest.mark.slow
 def test_matvec_matches_dense():
     model, params, X, y = setup()
     op = KFACOperator(model, params, [(X, y)], "classification")
@@ -32,6 +33,7 @@ def test_matvec_matches_dense():
     np.testing.assert_allclose(np.asarray(op @ V), dense @ V, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_matrix_functionals():
     # regression: the loss Hessian is full-rank, so det/logdet are
     # well-defined on the raw factors (for classification the softmax
@@ -50,6 +52,7 @@ def test_matrix_functionals():
     np.testing.assert_allclose(float(op.det), np.exp(ld), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_batch_accumulation():
     """Factors accumulated over two batches equal one concatenated batch."""
     model, params, X, y = setup(M=8)

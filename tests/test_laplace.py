@@ -55,6 +55,7 @@ def test_dispatcher_all_keys():
 
 
 @pytest.mark.parametrize("likelihood", ["classification", "regression"])
+@pytest.mark.slow
 def test_full_laplace_fit_marglik(likelihood):
     model, params, X, y, loader = setup(likelihood)
     la = FullLaplace(model, params, likelihood)
@@ -77,6 +78,7 @@ def test_full_laplace_fit_marglik(likelihood):
         float(la.log_likelihood - 0.5 * (la.log_det_ratio + la.scatter)))
 
 
+@pytest.mark.slow
 def test_full_batched_fit_equals_single_batch():
     model, params, X, y, _ = setup("classification")
     la1 = FullLaplace(model, params, "classification")
@@ -88,6 +90,7 @@ def test_full_batched_fit_equals_single_batch():
     np.testing.assert_allclose(float(la1.loss), float(la2.loss), atol=1e-9)
 
 
+@pytest.mark.slow
 def test_kron_laplace_logdet_close_to_full_structure():
     model, params, X, y, loader = setup("classification")
     la = KronLaplace(model, params, "classification")
@@ -133,6 +136,7 @@ def test_diag_laplace_equals_full_diagonal():
 
 
 @pytest.mark.parametrize("flavor", [FullLaplace, KronLaplace, DiagLaplace])
+@pytest.mark.slow
 def test_glm_predictive_classification(flavor):
     model, params, X, y, loader = setup("classification")
     la = flavor(model, params, "classification")
@@ -164,6 +168,7 @@ def test_glm_predictive_regression(flavor):
                                    atol=1e-8)
 
 
+@pytest.mark.slow
 def test_nn_predictive():
     model, params, X, y, loader = setup("classification")
     la = DiagLaplace(model, params, "classification")
@@ -176,6 +181,7 @@ def test_nn_predictive():
 
 
 @pytest.mark.parametrize("flavor", [FullLaplace, KronLaplace, DiagLaplace])
+@pytest.mark.slow
 def test_sample_statistics(flavor):
     model, params, X, y, loader = setup("classification")
     la = flavor(model, params, "classification")
@@ -240,6 +246,7 @@ def test_serialization_roundtrip(flavor):
         la3.load_state_dict(sd)
 
 
+@pytest.mark.slow
 def test_lowrank_laplace():
     model, params, X, y, loader = setup("classification")
     la = LowRankLaplace(model, params, "classification", rank=8)
@@ -259,6 +266,7 @@ def test_lowrank_laplace():
                                rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_backend_choices():
     model, params, X, y, loader = setup("classification")
     for backend in [GGNBackend, EFBackend, HessianBackend]:
@@ -271,6 +279,7 @@ def test_backend_choices():
     assert np.isfinite(float(la.log_marginal_likelihood()))
 
 
+@pytest.mark.slow
 def test_reward_modeling_fit_classification_predict_regression():
     # Bradley-Terry reward model (reference examples/reward_modeling_
     # example.py): fit sees (B, 2, d) -> (B, 2) logits under CE; predict
@@ -311,6 +320,7 @@ def test_reward_modeling_fit_classification_predict_regression():
     np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_reward_modeling_gridsearch_and_nn_consistency():
     from laplace_gnn_tpu import Laplace
     from laplace_gnn_tpu.nn import MLP
@@ -353,6 +363,7 @@ def test_reward_modeling_gridsearch_and_nn_consistency():
     assert np.all(np.asarray(probs) >= 0)
 
 
+@pytest.mark.slow
 def test_functional_laplace_reward_modeling_predicts_regression():
     from laplace_gnn_tpu.laplace import FunctionalLaplace
     from laplace_gnn_tpu.nn import MLP
@@ -380,6 +391,7 @@ def test_functional_laplace_reward_modeling_predicts_regression():
     np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_validate_defaults_to_gp_for_functional():
     from laplace_gnn_tpu.laplace import FunctionalLaplace
     from laplace_gnn_tpu.nn import MLP

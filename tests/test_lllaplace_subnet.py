@@ -37,6 +37,7 @@ def setup(likelihood="classification", seed=0):
 
 @pytest.mark.parametrize("flavor", [FullLLLaplace, KronLLLaplace,
                                     DiagLLLaplace])
+@pytest.mark.slow
 def test_lllaplace_basic(flavor):
     model, params, X, y, loader = setup()
     la = flavor(model, params, "classification")
@@ -79,6 +80,7 @@ def test_diag_ll_functional_variance_fast():
                                            axis2=-1), atol=1e-9)
 
 
+@pytest.mark.slow
 def test_ll_gnn_uses_exact_jacobians():
     """GNN last layer feeds an aggregation; LL Laplace must use exact
     autodiff Jacobians, not the (invalid) features-x-I closed form."""
@@ -103,6 +105,7 @@ def test_ll_gnn_uses_exact_jacobians():
 
 # --- subnetwork -------------------------------------------------------------
 
+@pytest.mark.slow
 def test_subnet_laplace_full():
     model, params, X, y, loader = setup()
     P = H * D + H + C * H + C
@@ -167,6 +170,7 @@ def test_subnet_equals_full_when_all_indices():
 
 # --- masks ------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_score_based_masks():
     model, params, X, y, loader = setup()
     P = H * D + H + C * H + C
@@ -184,6 +188,7 @@ def test_score_based_masks():
         RandomSubnetMask(model, params, n_params_subnet=P + 1).select(loader)
 
 
+@pytest.mark.slow
 def test_name_based_masks():
     model, params, X, y, loader = setup()
     mask = ParamNameSubnetMask(model, params,

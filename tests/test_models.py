@@ -66,6 +66,7 @@ def test_three_layer_gcn_and_residual_and_norm(graph):
             assert len(params["norms"]) == 2
 
 
+@pytest.mark.slow
 def test_stegcn_adj_gradient_flows(graph):
     X, adj = graph
     model = STEGCN(D, H, C, 2, X, adj, threshold=0.5)
@@ -103,6 +104,7 @@ def test_lorastegcn(graph):
     assert np.abs(np.asarray(g["adj_lora_B"])).sum() > 0
 
 
+@pytest.mark.slow
 def test_gat_forward_rowsum(graph):
     X, adj = graph
     model = GAT(D, H, C, 2, X, adj, heads=2, concat=False)

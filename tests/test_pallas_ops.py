@@ -43,6 +43,7 @@ def test_ste_fused_forward_matches_composed(data, symmetric):
 
 @pytest.mark.parametrize("symmetric", [False, True])
 @pytest.mark.parametrize("sign_grad", [False, True])
+@pytest.mark.slow
 def test_ste_fused_gradients_match_composed(data, symmetric, sign_grad):
     adj, s = data
 
@@ -95,6 +96,7 @@ def test_norm_aggregate_matches_composed(data):
     np.testing.assert_allclose(np.asarray(gs_f), np.asarray(gs_c), atol=1e-9)
 
 
+@pytest.mark.slow
 def test_fused_models_match_unfused(data):
     adj, _ = data
     adj_bin = jnp.minimum((adj > 0.6) + (adj > 0.6).T, 1).astype(jnp.float64)

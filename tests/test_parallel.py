@@ -54,6 +54,7 @@ def test_shard_gnn_params_specs():
     assert sh["convs"][0]["lin"]["bias"].spec == P()
 
 
+@pytest.mark.slow
 def test_sharded_training_step_matches_single_device():
     """The same training step jitted with and without shardings must agree:
     single-chip and multi-chip are the same program."""
@@ -114,6 +115,7 @@ def test_halo_plan():
         assert set(halo.tolist()) <= cols
 
 
+@pytest.mark.slow
 def test_graft_entry_dryrun():
     import __graft_entry__ as ge
     fn, args = ge.entry()
@@ -123,6 +125,7 @@ def test_graft_entry_dryrun():
     ge.dryrun_multichip(4)
 
 
+@pytest.mark.slow
 def test_sharded_sparse_aggregate_matches_dense():
     from laplace_gnn_tpu.graph.container import sparse_from_edge_index
     from laplace_gnn_tpu.parallel.sharded import (
@@ -194,6 +197,7 @@ def test_rcm_order_reduces_bandwidth_and_preserves_spmm():
     assert halo_rcm <= 20 < halo_shuf
 
 
+@pytest.mark.slow
 def test_halo_sparse_aggregate_matches_dense():
     from laplace_gnn_tpu.graph.container import sparse_from_edge_index
     from laplace_gnn_tpu.parallel.sharded import (build_halo_exchange,
@@ -248,6 +252,7 @@ def test_halo_exchange_volume_shrinks_with_rcm():
     assert h_band * 3 < h_shuf, (h_band, h_shuf)
 
 
+@pytest.mark.slow
 def test_halo_agg_graph_sharded_sparse_gcn_end_to_end():
     # The full distributed story: SparseGCN over HaloAggGraph matches the
     # single-device model for forward, gradients, and the differentiable
@@ -300,6 +305,7 @@ def test_halo_agg_graph_sharded_sparse_gcn_end_to_end():
                for l in jax.tree_util.tree_leaves(gm))
 
 
+@pytest.mark.slow
 def test_ring_halo_aggregate_matches_dense_and_shrinks_volume():
     from laplace_gnn_tpu.graph.container import sparse_from_edge_index
     from laplace_gnn_tpu.parallel.sharded import (
@@ -349,6 +355,7 @@ def test_ring_halo_concentrates_on_banded_graph():
     assert all(h == 1 for h in H_s[1:-1])  # interior = padding only
 
 
+@pytest.mark.slow
 def test_halo_agg_graph_auto_schedule():
     from laplace_gnn_tpu.graph.container import sparse_from_edge_index
     from laplace_gnn_tpu.parallel import HaloAggGraph
@@ -417,6 +424,7 @@ def test_halo_widths_matches_plans():
                                         for p in range(4)))
 
 
+@pytest.mark.slow
 def test_sparse_gat_halo_matches_single_device():
     # edge-softmax attention through the halo exchange == plain graph
     from jax.sharding import NamedSharding
@@ -515,6 +523,7 @@ def test_pad_to_blocks_preserves_halo_aggregate():
 
 
 @pytest.mark.parametrize("schedule", ["alltoall", "ring"])
+@pytest.mark.slow
 def test_sparse_gat_halo_zero_weight_edges_and_ring(schedule):
     # real edges carrying weight 0 must stay in the attention softmax
     # (mask comes from the plan, not from w > 0), under both schedules
@@ -545,3 +554,71 @@ def test_sparse_gat_halo_zero_weight_edges_and_ring(schedule):
     np.testing.assert_allclose(np.asarray(f_sh),
                                np.asarray(m_ref.apply(params, idx)),
                                atol=1e-5)
+
+
+def test_projected_scaling_model():
+    from laplace_gnn_tpu.graph.container import sparse_from_edge_index
+    from laplace_gnn_tpu.parallel.scaling import (dcn_projection,
+                                                  format_table,
+                                                  projected_scaling)
+    rng = np.random.default_rng(0)
+    n = 64
+    ei = np.stack([rng.integers(0, n, 8 * n), rng.integers(0, n, 8 * n)])
+    g = sparse_from_edge_index(ei, n, normalize="sym")
+
+    rows = projected_scaling(g, d_features=32, t_compute_1chip=1e-4,
+                             n_chips=(2, 4, 8))
+    assert [r["n"] for r in rows] == [2, 4, 8]
+    for r in rows:
+        assert 0 < r["efficiency"] <= 1.0 + 1e-9
+        assert r["t_step_us"] >= max(r["t_comp_us"], r["t_comm_us"]) - 1e-9
+    # compute-bound regime: overlap hides the halo entirely -> eff ~ 1
+    slow = projected_scaling(g, d_features=32, t_compute_1chip=1.0,
+                             n_chips=(2,))[0]
+    assert slow["efficiency"] > 0.99
+    # non-overlapped must never beat overlapped
+    no = projected_scaling(g, d_features=32, t_compute_1chip=1e-4,
+                           n_chips=(2,), overlap=False)[0]
+    assert no["efficiency"] <= rows[0]["efficiency"] + 1e-12
+    assert "Medges/s" in format_table(rows)
+
+    d = dcn_projection(n_nodes=n, d_features=32, n_dcn=2,
+                       t_step_1slice=1e-4, n_graph=4)
+    assert 0 < d["efficiency"] <= 1.0 + 1e-9
+
+
+def test_ring_dense_aggregate_matches_dense():
+    from laplace_gnn_tpu.parallel.mesh import make_mesh
+    from laplace_gnn_tpu.parallel.sharded import (make_ring_dense_aggregate,
+                                                  sharded_aggregate)
+    rng = np.random.default_rng(0)
+    n, d = 32, 8
+    adj = rng.standard_normal((n, n)).astype(np.float32)
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    mesh = make_mesh(4, model_parallel=1)
+    agg, put = make_ring_dense_aggregate(mesh, n)
+    adj_s, x_s = put(jnp.asarray(adj)), put(jnp.asarray(x))
+    out = jax.jit(agg)(adj_s, x_s)
+    np.testing.assert_allclose(np.asarray(out), adj @ x, atol=1e-4)
+    # agrees with the all-gather formulation
+    out2 = sharded_aggregate(mesh, adj_s, x_s)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-4)
+    # differentiable: cotangent rides the reverse ring
+    g = jax.jit(jax.grad(lambda a, v: jnp.sum(jnp.sin(agg(a, v))),
+                         argnums=(0, 1)))(adj_s, x_s)
+    ga_ref, gx_ref = jax.grad(
+        lambda a, v: jnp.sum(jnp.sin(a @ v)), argnums=(0, 1))(
+        jnp.asarray(adj), jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(g[0]), np.asarray(ga_ref),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g[1]), np.asarray(gx_ref),
+                               atol=1e-4)
+
+
+def test_ring_dense_projection():
+    from laplace_gnn_tpu.parallel.scaling import ring_dense_projection
+    rows = ring_dense_projection(4096, 64, t_matmul_1chip=1e-3,
+                                 n_chips=(2, 4))
+    for r in rows:
+        assert r["ring_speedup"] >= 1.0 - 1e-9  # overlap never loses in-model
+        assert 0 < r["ring_efficiency"] <= 1.0 + 1e-9

@@ -346,6 +346,7 @@ def test_gcn_per_layer_activations_vs_reference(ref):
 @pytest.mark.parametrize("symmetric,sign_grad", [(False, False),
                                                  (True, False),
                                                  (False, True)])
+@pytest.mark.slow
 def test_stegcn_output_and_adj_grad_vs_reference(ref, symmetric, sign_grad):
     rng = np.random.default_rng(9)
     n, c = 10, 3

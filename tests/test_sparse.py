@@ -42,6 +42,7 @@ def test_ell_matches_segment(karate):
                                np.asarray(g_ell.spmm(x)), atol=1e-9)
 
 
+@pytest.mark.slow
 def test_hybrid_ell_bounded_k_matches_segment(karate):
     """Bounded-K ELL routes overflow edges of high-degree nodes through the
     COO remainder; result must equal the plain segment path exactly."""
@@ -73,6 +74,7 @@ def test_agg_dtype_cast():
                                atol=2e-2)
 
 
+@pytest.mark.slow
 def test_make_spmm_grads_match_dense():
     """Custom-VJP spmm: gradient and jvp equal the dense-adjacency oracle,
     for both symmetric and asymmetric graphs (asymmetric exercises the
@@ -102,6 +104,7 @@ def test_make_spmm_grads_match_dense():
                                    dense @ np.asarray(ct), atol=1e-9)
 
 
+@pytest.mark.slow
 def test_fast_agg_in_sparse_gcn_hyperstep(karate):
     """SparseGCN (FastAggGraph path) still supports the full value_and_grad
     + KFAC pipeline (jvp and vjp both flow through the custom spmm)."""
@@ -155,6 +158,7 @@ def test_sparse_gcn_matches_dense_gcn(karate):
                                atol=1e-9)
 
 
+@pytest.mark.slow
 def test_sparse_gcn_laplace_end_to_end(karate):
     """Diag + Kron Laplace and the marglik function work without any 'adj'
     parameter in the pytree."""
@@ -188,6 +192,7 @@ def test_sparse_gcn_laplace_end_to_end(karate):
     assert gsum > 0
 
 
+@pytest.mark.slow
 def test_sparse_gcn_trains(karate):
     d = karate
     tr, va, te = d.split(0)

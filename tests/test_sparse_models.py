@@ -24,6 +24,7 @@ def make_graph(seed=0):
     return a, X, y
 
 
+@pytest.mark.slow
 def test_sparse_sage_matches_dense():
     adj, X, y = make_graph()
     ei = np.array(np.nonzero(adj))
@@ -40,6 +41,7 @@ def test_sparse_sage_matches_dense():
 
 
 @pytest.mark.parametrize("heads", [1, 2])
+@pytest.mark.slow
 def test_sparse_gat_matches_dense(heads):
     adj, X, y = make_graph(seed=1)
     dense = GAT(D, H, C, 2, jnp.asarray(X), jnp.asarray(adj), dropout_p=0.0,
@@ -58,6 +60,7 @@ def test_sparse_gat_matches_dense(heads):
                                atol=1e-7)
 
 
+@pytest.mark.slow
 def test_sparse_sage_laplace_end_to_end():
     adj, X, y = make_graph(seed=2)
     ei = np.array(np.nonzero(adj))
@@ -72,6 +75,7 @@ def test_sparse_sage_laplace_end_to_end():
     np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sparse_gat_mixed_kron_and_diag_work():
     adj, X, y = make_graph(seed=3)
     ei = np.array(np.nonzero(adj + np.eye(N)))

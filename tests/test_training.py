@@ -29,6 +29,7 @@ def build_model(d, cls=STEGCN, **kw):
     return model, model.init(jax.random.PRNGKey(0))
 
 
+@pytest.mark.slow
 def test_marglik_optimization_learns_structure(karate):
     d = karate
     tr, va, te = d.split(0)
@@ -62,6 +63,7 @@ def test_marglik_optimization_gcn_no_adj_update(karate):
                                np.asarray(model.init_adj))
 
 
+@pytest.mark.slow
 def test_neg_marglik_structures_agree_on_direction(karate):
     """kron/diag/full margliks are different approximations but must all be
     finite and differentiable w.r.t. the adjacency."""
@@ -78,6 +80,7 @@ def test_neg_marglik_structures_agree_on_direction(karate):
         assert np.abs(np.asarray(g["adj"])).sum() > 0, structure
 
 
+@pytest.mark.slow
 def test_fit_laplace_and_bayes_eval(karate):
     d = karate
     tr, va, te = d.split(0)
@@ -88,6 +91,7 @@ def test_fit_laplace_and_bayes_eval(karate):
     assert np.isfinite(loss)
 
 
+@pytest.mark.slow
 def test_library_marglik_training():
     keys = jax.random.split(jax.random.PRNGKey(0), 3)
     M, D, C = 30, 3, 2
@@ -109,6 +113,7 @@ def test_library_marglik_training():
     assert p.shape == (M, C)
 
 
+@pytest.mark.slow
 def test_experiment_driver_smoke(tmp_path):
     from laplace_gnn_tpu.training.experiment import main
     out = main(["--dataset", "karate", "--model_type", "gcn",
@@ -122,6 +127,7 @@ def test_experiment_driver_smoke(tmp_path):
     assert (tmp_path / "karate" / "stats.pkl").exists()
 
 
+@pytest.mark.slow
 def test_learned_graphs_saved(tmp_path, karate):
     d = karate
     tr, va, _ = d.split(0)
@@ -136,6 +142,7 @@ def test_learned_graphs_saved(tmp_path, karate):
     assert (tmp_path / "graphs" / "latest_adj.npy").exists()
 
 
+@pytest.mark.slow
 def test_marglik_grad_stable_with_degenerate_factors():
     """SURVEY.md 'hard parts': eigh gradients blow up on degenerate
     eigenvalues. The hyperstep differentiates eigvalsh (values only), whose
@@ -157,6 +164,7 @@ def test_marglik_grad_stable_with_degenerate_factors():
             assert np.isfinite(np.asarray(leaf)).all(), structure
 
 
+@pytest.mark.slow
 def test_scan_loop_matches_eager(karate):
     """The on-device scan training loop must produce the same trajectory as
     the eager loop (early_stop=False semantics)."""
@@ -179,6 +187,7 @@ def test_scan_loop_matches_eager(karate):
                                np.asarray(p2["adj"]), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_sparse_experiment_cli():
     from laplace_gnn_tpu.training.sparse_experiment import main
     r = main(["--dataset", "sbm", "--n_nodes", "400", "--n_classes", "3",
@@ -189,6 +198,7 @@ def test_sparse_experiment_cli():
     assert np.isfinite(r["laplace"]["nll"])
 
 
+@pytest.mark.slow
 def test_sparse_experiment_cli_gat():
     from laplace_gnn_tpu.training.sparse_experiment import main
     r = main(["--dataset", "sbm", "--n_nodes", "300", "--n_classes", "4",
@@ -198,6 +208,7 @@ def test_sparse_experiment_cli_gat():
     assert np.isfinite(r["laplace"]["nll"])
 
 
+@pytest.mark.slow
 def test_sparse_experiment_checkpoint_resume(tmp_path):
     from laplace_gnn_tpu.training.sparse_experiment import main
     base = ["--dataset", "sbm", "--n_nodes", "300", "--n_classes", "3",
@@ -225,6 +236,7 @@ def test_sparse_experiment_checkpoint_resume(tmp_path):
             (k, r[k], r_straight[k])
 
 
+@pytest.mark.slow
 def test_gat_kron_mixed_structure():
     # GAT's attention vectors are non-Linear posterior params; under kron
     # they now get exact-diagonal blocks while the Linear sites keep Kron
