@@ -131,6 +131,156 @@ def bench_jax(X, adj, y, n_train=140, K=50):
     return t_hyper, t_fwd, edges_per_s
 
 
+def bench_absolute(X, adj, y, n_train=140):
+    """Absolute metrics (round-comparable without the torch-CPU ratio):
+    GGN mat-vec time/edges/s on the flagship, sparse-SpMM edges/s vs the
+    HBM gather roofline, and the projected multi-chip scaling table from
+    measured single-chip time + the partition's halo widths."""
+    import jax
+    import jax.numpy as jnp
+
+    from laplace_gnn_tpu.curvature.interface import GGNBackend
+    from laplace_gnn_tpu.curvature.operators import ggn_vp_tree
+    from laplace_gnn_tpu.graph.container import sparse_from_edge_index
+    from laplace_gnn_tpu.models import STEGCN
+    from laplace_gnn_tpu.parallel import apply_node_order, rcm_order
+    from laplace_gnn_tpu.parallel.scaling import (V5E_HBM_BW, format_table,
+                                                  projected_scaling)
+
+    model = STEGCN(N_FEAT, HIDDEN, N_CLASS, 2, jnp.asarray(X),
+                   jnp.asarray(adj), dropout_p=0.0)
+    params = model.init(jax.random.PRNGKey(0))
+    idx = jnp.arange(n_train)
+    be = GGNBackend(model, params, "classification")
+    n_edges = float(np.asarray(adj).sum()) + N_NODES
+
+    # --- GGN mat-vec (the curvature hot path; backward reuses the SpMM) ----
+    v0 = jax.tree_util.tree_map(jnp.ones_like, be.w)
+
+    @jax.jit
+    def ggn_loop(w, K):
+        def body(i, v):
+            gv = ggn_vp_tree(be.model_fn, "classification", w, idx, v)
+            nrm = jnp.sqrt(sum(jnp.sum(l * l)
+                               for l in jax.tree_util.tree_leaves(gv)))
+            return jax.tree_util.tree_map(
+                lambda a: a / jnp.maximum(nrm, 1e-30), gv)
+        return jax.lax.fori_loop(0, K, body, v0)
+
+    K = 50
+    jax.block_until_ready(ggn_loop(be.w, 1))
+    t0 = time.perf_counter()
+    jax.block_until_ready(ggn_loop(be.w, K))
+    tK = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    jax.block_until_ready(ggn_loop(be.w, 2 * K))
+    t2K = time.perf_counter() - t0
+    t_ggn = max((t2K - tK) / K, 1e-9)
+    # one GGN mvp = jvp fwd + vjp bwd = 2 full-graph passes, 2 agg each
+    ggn_edges_per_s = 4 * n_edges / t_ggn
+    log(f"ggn mat-vec: {t_ggn * 1e3:.3f} ms "
+        f"({ggn_edges_per_s / 1e6:.1f}M edges/s effective)")
+
+    # --- sparse SpMM + gather roofline + scaling projection ----------------
+    ei = np.asarray(np.nonzero(adj))
+    order = rcm_order(ei, N_NODES)
+    ei_rcm, = apply_node_order(ei, order)
+    g = sparse_from_edge_index(ei_rcm, N_NODES, normalize="sym")
+    d = HIDDEN
+    x0 = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (N_NODES, d)), jnp.float32)
+
+    @jax.jit
+    def spmm_loop(x, K):
+        def body(i, x):
+            o = g.spmm(x)
+            return o / jnp.maximum(jnp.linalg.norm(o), 1e-30)
+        return jax.lax.fori_loop(0, K, body, x)
+
+    KS = 200
+    jax.block_until_ready(spmm_loop(x0, 1))
+    t0 = time.perf_counter()
+    jax.block_until_ready(spmm_loop(x0, KS))
+    tK = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    jax.block_until_ready(spmm_loop(x0, 2 * KS))
+    t2K = time.perf_counter() - t0
+    t_spmm = max((t2K - tK) / KS, 1e-9)
+    E = g.n_edges
+    spmm_edges_per_s = E / t_spmm
+    # gather-bound roofline: E rows of d fp32 gathered + N written from HBM
+    t_roof = (E * d * 4 + N_NODES * d * 4) / V5E_HBM_BW
+    pct_roof = 100.0 * t_roof / t_spmm
+    log(f"sparse spmm: {t_spmm * 1e6:.1f} us ({spmm_edges_per_s / 1e6:.1f}M "
+        f"edges/s, {pct_roof:.0f}% of HBM gather roofline)")
+
+    rows = projected_scaling(g, d_features=d, t_compute_1chip=t_spmm,
+                             n_chips=(2, 4))
+    log("projected scaling (RCM-ordered, all_to_all halo):\n"
+        + format_table(rows))
+
+    # --- ring dense aggregation: single-chip 2-stage pipeline simulation ---
+    # chunked per-panel matmuls (the ring's compute structure) vs the one
+    # fused matmul (the all-gather formulation's compute); the difference
+    # is the chunking overhead the overlap must pay for
+    from laplace_gnn_tpu.parallel.scaling import ring_dense_projection
+    a_dense = jnp.asarray(adj)
+    n_sim = 4
+    Bn = N_NODES // n_sim
+
+    @jax.jit
+    def full_mm(x, K):
+        def body(i, x):
+            o = a_dense @ x
+            return o / jnp.maximum(jnp.linalg.norm(o), 1e-30)
+        return jax.lax.fori_loop(0, K, body, x)
+
+    @jax.jit
+    def chunk_mm(x, K):
+        def body(i, x):
+            o = sum(a_dense[:, k * Bn:(k + 1) * Bn]
+                    @ x[k * Bn:(k + 1) * Bn] for k in range(n_sim))
+            return o / jnp.maximum(jnp.linalg.norm(o), 1e-30)
+        return jax.lax.fori_loop(0, K, body, x)
+
+    KM = 100
+    jax.block_until_ready(full_mm(x0, 1))
+    jax.block_until_ready(chunk_mm(x0, 1))
+    t0 = time.perf_counter(); jax.block_until_ready(full_mm(x0, KM))
+    tf1 = time.perf_counter() - t0
+    t0 = time.perf_counter(); jax.block_until_ready(full_mm(x0, 2 * KM))
+    tf2 = time.perf_counter() - t0
+    t0 = time.perf_counter(); jax.block_until_ready(chunk_mm(x0, KM))
+    tc1 = time.perf_counter() - t0
+    t0 = time.perf_counter(); jax.block_until_ready(chunk_mm(x0, 2 * KM))
+    tc2 = time.perf_counter() - t0
+    t_full = max((tf2 - tf1) / KM, 1e-9)
+    t_chunk = max((tc2 - tc1) / KM, 1e-9)
+    ring_rows = ring_dense_projection(N_NODES, d, t_chunk, n_chips=(2, 4, 8))
+    log(f"dense matmul: fused {t_full * 1e6:.1f} us, {n_sim}-chunk "
+        f"{t_chunk * 1e6:.1f} us (chunking overhead "
+        f"{100 * (t_chunk / t_full - 1):.0f}%)")
+    for r in ring_rows:
+        log(f"  ring vs all-gather @n={r['n']}: "
+            f"{r['t_ring_us']:.1f}us vs {r['t_allgather_us']:.1f}us "
+            f"(speedup {r['ring_speedup']:.2f}x, eff "
+            f"{r['ring_efficiency']:.2f})")
+
+    return {
+        "dense_mm_us": round(t_full * 1e6, 1),
+        "dense_mm_chunked_us": round(t_chunk * 1e6, 1),
+        "ring_vs_allgather_speedup": {str(r["n"]): round(r["ring_speedup"], 2)
+                                      for r in ring_rows},
+        "ggn_mvp_ms": round(t_ggn * 1e3, 3),
+        "ggn_mvp_medges_per_s": round(ggn_edges_per_s / 1e6, 1),
+        "spmm_us": round(t_spmm * 1e6, 1),
+        "spmm_medges_per_s": round(spmm_edges_per_s / 1e6, 1),
+        "spmm_pct_hbm_roofline": round(pct_roof, 1),
+        "projected_scaling_eff": {str(r["n"]): round(r["efficiency"], 3)
+                                  for r in rows},
+    }
+
+
 def bench_torch_cpu(X, adj, y, n_train=140, repeats=1):
     """Torch-CPU hyperstep with the reference's strategy: KFAC factors via
     per-column backward passes with retained graphs, differentiable marglik,
@@ -201,6 +351,13 @@ def main():
     X, adj, y = make_graph(rng)
     t_hyper, t_fwd, edges_per_s = bench_jax(X, adj, y)
     try:
+        extras = bench_absolute(X, adj, y)
+    except Exception as e:
+        log(f"absolute-metric bench failed: {e}")
+        extras = {}
+    extras["fwd_ms"] = round(t_fwd * 1e3, 4)
+    extras["fwd_medges_per_s"] = round(edges_per_s / 1e6, 1)
+    try:
         t_torch = bench_torch_cpu(X, adj, y)
         vs_baseline = t_torch / t_hyper
     except Exception as e:  # torch missing or OOM: report 1.0
@@ -210,7 +367,11 @@ def main():
         "metric": "marglik_hyperstep_ms",
         "value": round(t_hyper * 1e3, 3),
         "unit": "ms",
+        # speedup over a torch-CPU reimplementation of the same math (the
+        # real reference cannot run here: backpack/asdl absent); see
+        # "extras" for absolute, strawman-free numbers
         "vs_baseline": round(vs_baseline, 2),
+        "extras": extras,
     }))
 
 

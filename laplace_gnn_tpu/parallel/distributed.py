@@ -75,7 +75,7 @@ def initialize(coordinator_address: Optional[str] = None,
 def make_hybrid_mesh(dcn_parallel: Optional[int] = None,
                      model_parallel: int = 1,
                      axis_names: Sequence[str] = ("dcn", "graph", "model"),
-                     ) -> Mesh:
+                     n_devices: Optional[int] = None) -> Mesh:
     """3-axis mesh ('dcn', 'graph', 'model').
 
     Multi-process: 'dcn' is the process axis — devices are grouped by
@@ -90,6 +90,10 @@ def make_hybrid_mesh(dcn_parallel: Optional[int] = None,
     """
     devices = jax.devices()
     n_proc = jax.process_count()
+    if n_devices is not None:
+        if n_proc > 1:
+            raise ValueError("n_devices limit is single-process only")
+        devices = devices[:n_devices]
     if dcn_parallel is None:
         dcn_parallel = n_proc
     n = len(devices)

@@ -43,6 +43,66 @@ def sharded_aggregate(mesh: Mesh, adj_block: jnp.ndarray,
         out_specs=P("graph", None))(adj_block, x_block)
 
 
+def make_ring_dense_aggregate(mesh: Mesh, n_nodes: int):
+    """Latency-hiding dense aggregation: ``adj @ x`` with the all-gather
+    decomposed into a ppermute ring pipelined against per-chunk matmuls.
+
+    ``sharded_aggregate`` all-gathers the full (N, d) feature matrix and
+    then runs one (B, N) x (N, d) matmul — the collective and the MXU work
+    are serialized. Here each device starts from its own (B, d) block and,
+    for n-1 steps, (a) issues the ppermute moving the block one hop around
+    the ring and (b) multiplies the (B, B) column panel of its adjacency
+    block against the chunk it currently holds. Steps (a) and (b) have no
+    data dependence, so XLA's latency-hiding scheduler overlaps each hop
+    with the previous chunk's matmul: communication hides behind compute
+    whenever t_matmul(B, B, d) >= t_ppermute(B*d), i.e. for
+    B >= ici_bytes_per_s / (2 * flops_per_s / d) ... in practice whenever
+    the per-chunk panel is MXU-saturating (see parallel/scaling.py to
+    price it). The loop is unrolled (n is static) so every hop gets its
+    own buffer.
+
+    Returns (aggregate_fn, put): aggregate_fn(adj_sharded, x_sharded) with
+    adj (N, N) and x (N, d) both row-sharded over 'graph'. Differentiable
+    (ppermute/dot transpose cleanly), so backward/GGN reuse the ring.
+    """
+    n_parts = mesh.shape["graph"]
+    if n_nodes % n_parts != 0:
+        raise ValueError(f"n_nodes={n_nodes} must divide n_parts={n_parts}")
+    B = n_nodes // n_parts
+
+    def local(adj_blk, x_blk):
+        # adj_blk: (B, N); x_blk: (B, d) — my row block of x
+        me = jax.lax.axis_index("graph")
+        perm = [(q, (q + 1) % n_parts) for q in range(n_parts)]
+        out = jnp.zeros((B, x_blk.shape[1]), x_blk.dtype)
+        cur = x_blk
+        for s in range(n_parts):
+            owner = (me - s) % n_parts
+            # issue the next hop BEFORE consuming cur: independent ops, so
+            # the collective overlaps the matmul below
+            nxt = jax.lax.ppermute(cur, "graph", perm) \
+                if s + 1 < n_parts else cur
+            start = (owner * B).astype(jnp.int32)
+            panel = jax.lax.dynamic_slice(
+                adj_blk, (jnp.int32(0), start), (B, B))
+            out = out + jnp.dot(panel, cur,
+                                preferred_element_type=x_blk.dtype)
+            cur = nxt
+        return out
+
+    sharded = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P("graph", None), P("graph", None)),
+        out_specs=P("graph", None))
+
+    spec = NamedSharding(mesh, P("graph", None))
+
+    def put(x):
+        return jax.device_put(x, spec)
+
+    return sharded, put
+
+
 def make_sharded_train_step(model, mesh: Mesh, loss_fn, lr: float = 0.01):
     """Jitted sharded SGD step over a GNN params pytree whose adjacency is
     row-sharded (automatic partitioning path)."""
