@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.linalg import symeig
+from ..ops.linalg import batched_symeig
 
 
 def _is_scalarish(x) -> bool:
@@ -98,13 +98,21 @@ class Kron:
         return jax.lax.stop_gradient(self)
 
     def decompose(self, damping: bool = False) -> "KronDecomposed":
-        """Eigendecompose every factor (reference :118-145)."""
+        """Eigendecompose every factor (reference :118-145).
+
+        Same-size factors share one batched eigh (ops/linalg.py::
+        batched_symeig) — each separate data-dependent eigh costs a fixed
+        TPU pipeline stall, so k same-size calls collapse to ~one."""
+        dense = [(gi, fi, F) for gi, group in enumerate(self.kfacs)
+                 for fi, F in enumerate(group) if F.ndim > 1]
+        dense_eigs = batched_symeig([F for _, _, F in dense])
+        by_pos = {(gi, fi): lw for (gi, fi, _), lw in zip(dense, dense_eigs)}
         eigvecs, eigvals = [], []
-        for group in self.kfacs:
+        for gi, group in enumerate(self.kfacs):
             Qs, ls = [], []
-            for F in group:
+            for fi, F in enumerate(group):
                 if F.ndim > 1:
-                    l, Q = symeig(F)
+                    l, Q = by_pos[(gi, fi)]
                 else:
                     l, Q = F, jnp.eye(F.shape[0], dtype=F.dtype)
                 Qs.append(Q)

@@ -35,6 +35,57 @@ def safe_symeig(M: jnp.ndarray, jitter: float = 0.0):
     return symeig(M)
 
 
+def _same_size_groups(mats) -> dict:
+    """Indices of ``mats`` grouped by matrix dimension."""
+    groups: dict = {}
+    for i, m in enumerate(mats):
+        groups.setdefault(int(m.shape[0]), []).append(i)
+    return groups
+
+
+def batched_eigvalsh(mats) -> list:
+    """Eigenvalues of several small symmetric matrices, stacking same-size
+    matrices into one batched ``eigvalsh`` call.
+
+    Measured on TPU v5e: each data-dependent eigendecomposition embedded in
+    a larger program costs a fixed ~0.1-0.2 ms pipeline stall on top of its
+    FLOPs (XLA's eigh is a sequential sweep loop that drains the DMA
+    pipeline), so k calls cost ~k stalls while one (k, d, d) batched call
+    costs ~one. Padding differently sized matrices into a common batch or
+    one block-diagonal composite was measured SLOWER than separate calls
+    (the extra sweep work dominates), hence the exact-same-size-only policy.
+
+    Returns a list of ascending eigenvalue vectors, one per input matrix.
+    """
+    mats = list(mats)
+    out: list = [None] * len(mats)
+    for d, idxs in _same_size_groups(mats).items():
+        if len(idxs) == 1:
+            out[idxs[0]] = jnp.linalg.eigvalsh(mats[idxs[0]])
+        else:
+            lams = jnp.linalg.eigvalsh(jnp.stack([mats[i] for i in idxs]))
+            for t, i in enumerate(idxs):
+                out[i] = lams[t]
+    return out
+
+
+def batched_symeig(mats) -> list:
+    """Like :func:`batched_eigvalsh` but returns ``(eigenvalues,
+    eigenvectors)`` pairs with the reference's clamp/NaN post-conditions
+    (:func:`symeig`). Same-size stacking policy as batched_eigvalsh."""
+    mats = [0.5 * (m + m.T) for m in mats]
+    out: list = [None] * len(mats)
+    for d, idxs in _same_size_groups(mats).items():
+        if len(idxs) == 1:
+            out[idxs[0]] = symeig(mats[idxs[0]])
+        else:
+            L, W = jnp.linalg.eigh(jnp.stack([mats[i] for i in idxs]))
+            for t, i in enumerate(idxs):
+                out[i] = (jnp.nan_to_num(jnp.clip(L[t], min=0.0)),
+                          jnp.nan_to_num(W[t]))
+    return out
+
+
 def invsqrt_precision(M: jnp.ndarray) -> jnp.ndarray:
     """Lower-triangular scale ``S`` with ``S S^T = M^{-1}`` for a precision matrix.
 

@@ -32,6 +32,7 @@ import optax
 from ..curvature.interface import GGNBackend
 from ..curvature.losses import cross_entropy_sum
 from ..graph.data import adj_to_edge_index
+from ..ops.linalg import batched_eigvalsh
 from ..graph.homophily import avg_local_homophilies, global_homophily
 from ..laplace.dispatch import Laplace
 from ..utils.data import ArrayLoader
@@ -89,23 +90,58 @@ def make_neg_marglik_fn(model, likelihood: str, hessian_structure: str,
         """log det (H_factor * (B (x) A) + delta I) per block, using cached
         eigenvalues for constant A factors. Matches
         KronDecomposed.logdet (laplace/utils/matrix.py:371-394) with the
-        Kron * H_factor eigenvalue-scaling convention."""
+        Kron * H_factor eigenvalue-scaling convention.
+
+        All small factor eigendecompositions run in ONE batched eigvalsh
+        (ops/linalg.py::batched_eigvalsh): XLA's TPU eigh is latency-bound,
+        so per-factor calls serialize ~120 us each while the batch costs one.
+        Factors shared between groups (a layer's B reused by its weight and
+        bias blocks) are deduplicated by object identity."""
         sqrt_f = jnp.sqrt(H_factor)
+        # pass 1: unique dense factors that need an eigendecomposition.
+        # Dedup is semantic — a site's weight and bias groups share the same
+        # B matrix, but after `kron * factor` they are distinct (equal)
+        # tensors, so the key is (site, role), not object identity.
+        tasks, task_idx = [], {}
+
+        def _task_key(site_name, role, f):
+            return (site_name, role) if site_name is not None else id(f)
+
+        def _add_task(site_name, role, f):
+            k = _task_key(site_name, role, f)
+            if k not in task_idx:
+                task_idx[k] = len(tasks)
+                tasks.append(f)
+
+        for group, site_name in zip(kron.kfacs, group_sites):
+            if len(group) == 1:
+                if group[0].ndim != 1:
+                    _add_task(site_name, "B", group[0])
+            else:
+                _add_task(site_name, "B", group[0])
+                if site_name not in static_A_eigvals:
+                    _add_task(site_name, "A", group[1])
+        eigs = batched_eigvalsh(tasks)
+
+        def lam_of(site_name, role, f):
+            return jnp.clip(eigs[task_idx[_task_key(site_name, role, f)]],
+                            min=0.0)
+
         out = 0.0
         for group, site_name in zip(kron.kfacs, group_sites):
             if len(group) == 1:
                 if group[0].ndim == 1:   # mixed-structure exact-diag block
                     lb = jnp.clip(group[0], min=0.0)
                 else:
-                    lb = jnp.clip(jnp.linalg.eigvalsh(group[0]), min=0.0)
+                    lb = lam_of(site_name, "B", group[0])
                 out = out + jnp.sum(jnp.log(H_factor * lb + prior_prec))
             else:
                 B, A = group
-                lb = jnp.clip(jnp.linalg.eigvalsh(B), min=0.0)
+                lb = lam_of(site_name, "B", B)
                 if site_name in static_A_eigvals:
                     la = static_A_eigvals[site_name]
                 else:
-                    la = jnp.clip(jnp.linalg.eigvalsh(A), min=0.0)
+                    la = lam_of(site_name, "A", A)
                 out = out + jnp.sum(jnp.log(
                     jnp.outer(sqrt_f * lb, sqrt_f * la) + prior_prec))
         return out
