@@ -87,7 +87,14 @@ def loss_hessian_sqrt(likelihood: str, f: jnp.ndarray) -> jnp.ndarray:
     if likelihood == REGRESSION:
         return jnp.tile(jnp.sqrt(2.0) * jnp.eye(C, dtype=f.dtype), (M, 1, 1))
     p = jax.nn.softmax(f, axis=-1)
-    sp = jnp.sqrt(p)
+    # sqrt(p) as exp(log_softmax / 2): sqrt'(0) is infinite, so once a logit
+    # saturates (p underflows to exactly 0 in f32) differentiating the naive
+    # jnp.sqrt(softmax(f)) w.r.t. f — which the marglik hyperstep does,
+    # through the TYPE2 KFAC factors — yields inf * 0 = NaN and poisons the
+    # adjacency. The log-space form underflows gracefully (d exp(x/2) -> 0)
+    # and is bit-comparable elsewhere. (The torch reference has the same
+    # hazard in curvlinops/kfac.py:637-661; this formulation removes it.)
+    sp = jnp.exp(0.5 * jax.nn.log_softmax(f, axis=-1))
     return jax.vmap(lambda pi, si: jnp.diag(si) - jnp.outer(pi, si))(p, sp)
 
 

@@ -196,6 +196,107 @@ def make_neg_marglik_fn(model, likelihood: str, hessian_structure: str,
     return fn
 
 
+# ---------------------------------------------------------------------------
+# Jitted-program cache: grid searches re-run the same training configuration
+# over many splits/repeats; rebuilding jax.jit closures per call re-pays the
+# full Python trace + lowering (~2 s for the scan program — 7x the actual
+# device time of a 200-epoch Cora-sized run). Programs are cached on the
+# model keyed by the static config, with the data (indices/labels) as traced
+# ARGUMENTS so every same-shape split reuses one executable.
+# ---------------------------------------------------------------------------
+
+def _model_program_cache(model) -> dict:
+    return model.__dict__.setdefault("_jit_program_cache", {})
+
+
+def _zero_masked_out(g, mask):
+    """optax.masked passes masked-out updates through unchanged, so the raw
+    gradients must be zeroed for parameters a given optimizer does not own."""
+    return jax.tree_util.tree_map(
+        lambda gr, m: gr if m else jnp.zeros_like(gr), g, mask)
+
+
+def _ce_mean(f, yy):
+    return cross_entropy_sum(f, yy) / yy.shape[0]
+
+
+def _static_key(*parts):
+    """Hashable cache key, or None when a part is unhashable (e.g. an array
+    prior precision) — then the caller builds uncached."""
+    try:
+        hash(parts)
+        return parts
+    except TypeError:
+        return None
+
+
+def _build_training_programs(model, params, *, lr, weight_decay, lr_adj,
+                             weight_decay_adj, momentum_adj, grad_norm,
+                             hessian_structure, subset_of_weights,
+                             prior_precision, N, model_type):
+    """Optimizers + the four jitted programs of the eager marglik loop."""
+    key = _static_key("eager", lr, weight_decay, lr_adj, weight_decay_adj,
+                      momentum_adj, grad_norm, hessian_structure,
+                      subset_of_weights, prior_precision, N, model_type)
+    cache = _model_program_cache(model)
+    if key is not None and key in cache:
+        return cache[key]
+
+    adj_filter = ADJ_PARAM_FILTERS.get(model_type,
+                                       ADJ_PARAM_FILTERS["default"])
+    weight_mask = path_mask(params, lambda p: "adj" not in p)
+    adj_mask = path_mask(params, adj_filter)
+    weight_opt = optax.masked(
+        optax.chain(optax.add_decayed_weights(weight_decay),
+                    optax.adam(lr)), weight_mask)
+    adj_opt = optax.masked(
+        optax.chain(optax.add_decayed_weights(weight_decay_adj),
+                    optax.sgd(lr_adj, momentum=momentum_adj or None)),
+        adj_mask)
+    neg_marglik_fn = make_neg_marglik_fn(
+        model, "classification", hessian_structure, subset_of_weights, N,
+        prior_precision)
+
+    @jax.jit
+    def train_step(params, opt_state, idx, yy):
+        def obj(p):
+            f = model.apply(p, idx)
+            return _ce_mean(f, yy), f
+
+        (loss, f), g = jax.value_and_grad(obj, has_aux=True)(params)
+        g = _zero_masked_out(g, weight_mask)
+        updates, opt_state = weight_opt.update(g, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        acc = jnp.mean(jnp.argmax(f, axis=1) == yy)
+        return new_params, opt_state, loss, acc
+
+    @jax.jit
+    def hyperstep(params, adj_state, idx, yy):
+        nm, g = jax.value_and_grad(neg_marglik_fn)(params, idx, yy)
+        if grad_norm:
+            gnorm = jnp.sqrt(jnp.sum(g["adj"] ** 2))
+            scale = jnp.minimum(1.0, 1.0 / jnp.maximum(gnorm, 1e-12))
+            g = dict(g, adj=g["adj"] * scale)
+        g = _zero_masked_out(g, adj_mask)
+        updates, adj_state = adj_opt.update(g, adj_state, params)
+        return optax.apply_updates(params, updates), adj_state, nm
+
+    neg_marglik_eval = jax.jit(neg_marglik_fn)
+
+    @jax.jit
+    def val_metrics(params, vidx, vy):
+        f = model.apply(params, vidx)
+        return (_ce_mean(f, vy), jnp.mean(jnp.argmax(f, axis=1) == vy))
+
+    progs = {"weight_opt": weight_opt, "adj_opt": adj_opt,
+             "train_step": train_step, "hyperstep": hyperstep,
+             "neg_marglik_eval": neg_marglik_eval,
+             "val_metrics": val_metrics}
+    if key is not None:
+        cache[key] = progs
+    return progs
+
+
 def marglik_optimization(model, params,
                          train_indices, train_labels,
                          val_indices=None, val_labels=None,
@@ -242,69 +343,19 @@ def marglik_optimization(model, params,
     n_hyper_stop = n_hyper_stop if n_hyper_stop is not None else n_epochs
     N = int(train_labels.shape[0])
 
-    # --- optimizers: Adam on weights \ adj* ; SGD on adjacency params ------
-    adj_filter = ADJ_PARAM_FILTERS.get(model_type,
-                                       ADJ_PARAM_FILTERS["default"])
-    weight_mask = path_mask(params, lambda p: "adj" not in p)
-    adj_mask = path_mask(params, adj_filter)
-
-    def zero_masked_out(g, mask):
-        """optax.masked passes masked-out updates through unchanged, so the
-        raw gradients must be zeroed for parameters a given optimizer does
-        not own."""
-        return jax.tree_util.tree_map(
-            lambda gr, m: gr if m else jnp.zeros_like(gr), g, mask)
-
-    weight_opt = optax.masked(
-        optax.chain(optax.add_decayed_weights(weight_decay),
-                    optax.adam(lr)), weight_mask)
-    adj_opt = optax.masked(
-        optax.chain(optax.add_decayed_weights(weight_decay_adj),
-                    optax.sgd(lr_adj, momentum=momentum_adj or None)),
-        adj_mask)
-    weight_state = weight_opt.init(params)
-    adj_state = adj_opt.init(params)
-
-    # --- jitted steps -----------------------------------------------------
-    def ce_mean(f, yy):
-        return cross_entropy_sum(f, yy) / yy.shape[0]
-
-    @jax.jit
-    def train_step(params, opt_state, idx, yy):
-        def obj(p):
-            f = model.apply(p, idx)
-            return ce_mean(f, yy), f
-
-        (loss, f), g = jax.value_and_grad(obj, has_aux=True)(params)
-        g = zero_masked_out(g, weight_mask)
-        updates, opt_state = weight_opt.update(g, opt_state, params)
-        new_params = optax.apply_updates(params, updates)
-        acc = jnp.mean(jnp.argmax(f, axis=1) == yy)
-        return new_params, opt_state, loss, acc
-
-    neg_marglik_fn = make_neg_marglik_fn(
-        model, "classification", hessian_structure, subset_of_weights, N,
-        prior_precision)
-
-    @jax.jit
-    def hyperstep(params, adj_state):
-        nm, g = jax.value_and_grad(neg_marglik_fn)(params, train_indices,
-                                                   train_labels)
-        if grad_norm:
-            gnorm = jnp.sqrt(jnp.sum(g["adj"] ** 2))
-            scale = jnp.minimum(1.0, 1.0 / jnp.maximum(gnorm, 1e-12))
-            g = dict(g, adj=g["adj"] * scale)
-        g = zero_masked_out(g, adj_mask)
-        updates, adj_state = adj_opt.update(g, adj_state, params)
-        return optax.apply_updates(params, updates), adj_state, nm
-
-    neg_marglik_eval = jax.jit(neg_marglik_fn)
-
-    @jax.jit
-    def val_metrics(params):
-        f = model.apply(params, val_indices)
-        return (ce_mean(f, val_labels),
-                jnp.mean(jnp.argmax(f, axis=1) == val_labels))
+    # --- optimizers + jitted programs (cached per model x config) ----------
+    progs = _build_training_programs(
+        model, params, lr=lr, weight_decay=weight_decay, lr_adj=lr_adj,
+        weight_decay_adj=weight_decay_adj, momentum_adj=momentum_adj,
+        grad_norm=grad_norm, hessian_structure=hessian_structure,
+        subset_of_weights=subset_of_weights, prior_precision=prior_precision,
+        N=N, model_type=model_type)
+    train_step = progs["train_step"]
+    hyperstep = progs["hyperstep"]
+    neg_marglik_eval = progs["neg_marglik_eval"]
+    val_metrics = progs["val_metrics"]
+    weight_state = progs["weight_opt"].init(params)
+    adj_state = progs["adj_opt"].init(params)
 
     # --- analysis helpers (reference :137-149) -----------------------------
     eval_indices = None
@@ -345,7 +396,8 @@ def marglik_optimization(model, params,
                 and (epoch % marglik_frequency) == 0
                 and epoch >= n_epochs_burnin):
             for _ in range(n_hypersteps):
-                params, adj_state, nm = hyperstep(params, adj_state)
+                params, adj_state, nm = hyperstep(params, adj_state,
+                                                  train_indices, train_labels)
             if learned_graphs_dir is not None:
                 _adj = np.asarray(model.full_adj(params))
                 edge_index = adj_to_edge_index(_adj)
@@ -364,7 +416,7 @@ def marglik_optimization(model, params,
         nm = float(neg_marglik_eval(params, train_indices, train_labels))
         neg_margliks.append(nm)
         if val_indices is not None:
-            vl, va = val_metrics(params)
+            vl, va = val_metrics(params, val_indices, val_labels)
             vl, va = float(vl), float(va)
             val_losses.append(vl)
         else:
@@ -490,19 +542,59 @@ def marglik_optimization_scan(model, params,
     val_indices = jnp.asarray(val_indices)
     val_labels = jnp.asarray(val_labels)
     N = int(train_labels.shape[0])
-    no_adj_update = model_type in NO_ADJ_UPDATE_MODELS
-    n_hyper_stop = n_hyper_stop if n_hyper_stop is not None else n_epochs
-    is_ste = "ste" in model_type
 
+    run = _build_scan_run(
+        model, params, lr=lr, lr_adj=lr_adj, weight_decay=weight_decay,
+        weight_decay_adj=weight_decay_adj, momentum_adj=momentum_adj,
+        n_epochs=n_epochs, n_hypersteps=n_hypersteps,
+        n_epochs_burnin=n_epochs_burnin, n_hyper_stop=n_hyper_stop,
+        marglik_frequency=marglik_frequency,
+        subset_of_weights=subset_of_weights,
+        hessian_structure=hessian_structure,
+        prior_precision=prior_precision, grad_norm=grad_norm,
+        model_type=model_type, N=N)
+
+    params_final, traces, best = run(params, train_indices, train_labels,
+                                     val_indices, val_labels)
+    jax.block_until_ready(params_final)
+
+    results = {
+        "marglik": {"params": best["nm_params"],
+                    "epoch": int(best["nm_epoch"])},
+        "valloss": {"params": best["vl_params"],
+                    "epoch": int(best["vl_epoch"])},
+    }
+    return (results, params_final, np.asarray(traces["loss"]),
+            np.asarray(traces["val_loss"]),
+            np.asarray(traces["neg_marglik"]))
+
+
+def _build_scan_run(model, params, *, lr, lr_adj, weight_decay,
+                    weight_decay_adj, momentum_adj, n_epochs, n_hypersteps,
+                    n_epochs_burnin, n_hyper_stop, marglik_frequency,
+                    subset_of_weights, hessian_structure, prior_precision,
+                    grad_norm, model_type, N):
+    """The whole-training jitted program of
+    :func:`marglik_optimization_scan`, cached per model x static config with
+    the split data as traced arguments. Re-tracing this program costs ~2 s
+    of host work — 7x the device time of a Cora-sized 200-epoch run — so
+    grid searches over splits/repeats must reuse the executable."""
+    n_hyper_stop = n_hyper_stop if n_hyper_stop is not None else n_epochs
+    key = _static_key("scan", lr, lr_adj, weight_decay, weight_decay_adj,
+                      momentum_adj, n_epochs, n_hypersteps, n_epochs_burnin,
+                      n_hyper_stop, marglik_frequency, subset_of_weights,
+                      hessian_structure, prior_precision, grad_norm,
+                      model_type, N)
+    cache = _model_program_cache(model)
+    if key is not None and key in cache:
+        return cache[key]
+
+    no_adj_update = model_type in NO_ADJ_UPDATE_MODELS
+    is_ste = "ste" in model_type
     adj_filter = ADJ_PARAM_FILTERS.get(model_type,
                                        ADJ_PARAM_FILTERS["default"])
     weight_mask = path_mask(params, lambda p: "adj" not in p)
     adj_mask = path_mask(params, adj_filter)
-
-    def zero_masked_out(g, mask):
-        return jax.tree_util.tree_map(
-            lambda gr, m: gr if m else jnp.zeros_like(gr), g, mask)
-
     weight_opt = optax.masked(
         optax.chain(optax.add_decayed_weights(weight_decay),
                     optax.adam(lr)), weight_mask)
@@ -510,39 +602,35 @@ def marglik_optimization_scan(model, params,
         optax.chain(optax.add_decayed_weights(weight_decay_adj),
                     optax.sgd(lr_adj, momentum=momentum_adj or None)),
         adj_mask)
-
-    def ce_mean(f, yy):
-        return cross_entropy_sum(f, yy) / yy.shape[0]
-
     neg_marglik_fn = make_neg_marglik_fn(
         model, "classification", hessian_structure, subset_of_weights, N,
         prior_precision)
 
-    def train_step(params, wstate):
+    def train_step(params, wstate, tr_idx, tr_y):
         def obj(p):
-            return ce_mean(model.apply(p, train_indices), train_labels)
+            return _ce_mean(model.apply(p, tr_idx), tr_y)
 
         loss, g = jax.value_and_grad(obj)(params)
-        g = zero_masked_out(g, weight_mask)
+        g = _zero_masked_out(g, weight_mask)
         updates, wstate = weight_opt.update(g, wstate, params)
         return optax.apply_updates(params, updates), wstate, loss
 
-    def hyper_phase(params, astate):
+    def hyper_phase(params, astate, tr_idx, tr_y):
         def one(_, carry):
             params, astate = carry
-            g = jax.grad(neg_marglik_fn)(params, train_indices, train_labels)
+            g = jax.grad(neg_marglik_fn)(params, tr_idx, tr_y)
             if grad_norm:
                 gn = jnp.sqrt(jnp.sum(g["adj"] ** 2))
                 scale = jnp.minimum(1.0, 1.0 / jnp.maximum(gn, 1e-12))
                 g = dict(g, adj=g["adj"] * scale)
-            g = zero_masked_out(g, adj_mask)
+            g = _zero_masked_out(g, adj_mask)
             updates, astate = adj_opt.update(g, astate, params)
             return optax.apply_updates(params, updates), astate
 
         return jax.lax.fori_loop(0, n_hypersteps, one, (params, astate))
 
     @jax.jit
-    def run(params):
+    def run(params, tr_idx, tr_y, va_idx, va_y):
         wstate = weight_opt.init(params)
         astate = adj_opt.init(params)
         traces = {
@@ -560,19 +648,20 @@ def marglik_optimization_scan(model, params,
         def epoch_body(i, carry):
             params, wstate, astate, traces, best = carry
             epoch = i + 1
-            params, wstate, loss = train_step(params, wstate)
+            params, wstate, loss = train_step(params, wstate, tr_idx, tr_y)
 
             if not no_adj_update:
                 do_hyper = ((epoch < n_hyper_stop)
                             & (epoch % marglik_frequency == 0)
                             & (epoch >= n_epochs_burnin))
                 params, astate = jax.lax.cond(
-                    do_hyper, lambda pa: hyper_phase(*pa),
+                    do_hyper,
+                    lambda pa: hyper_phase(*pa, tr_idx, tr_y),
                     lambda pa: pa, (params, astate))
 
-            nm = neg_marglik_fn(params, train_indices, train_labels)
-            vf = model.apply(params, val_indices)
-            vl = ce_mean(vf, val_labels)
+            nm = neg_marglik_fn(params, tr_idx, tr_y)
+            vf = model.apply(params, va_idx)
+            vl = _ce_mean(vf, va_y)
 
             traces = {
                 "loss": traces["loss"].at[i].set(loss),
@@ -600,15 +689,6 @@ def marglik_optimization_scan(model, params,
             0, n_epochs, epoch_body, (params, wstate, astate, traces, best))
         return params, traces, best
 
-    params_final, traces, best = run(params)
-    jax.block_until_ready(params_final)
-
-    results = {
-        "marglik": {"params": best["nm_params"],
-                    "epoch": int(best["nm_epoch"])},
-        "valloss": {"params": best["vl_params"],
-                    "epoch": int(best["vl_epoch"])},
-    }
-    return (results, params_final, np.asarray(traces["loss"]),
-            np.asarray(traces["val_loss"]),
-            np.asarray(traces["neg_marglik"]))
+    if key is not None:
+        cache[key] = run
+    return run

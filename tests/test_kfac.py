@@ -247,3 +247,31 @@ def test_mixed_diag_other_fisher_types_finite(fisher_type):
             assert np.all(np.isfinite(np.asarray(f)))
         if len(group) == 1 and group[0].ndim == 1:
             assert np.all(np.asarray(group[0]) >= -1e-12)
+
+
+def test_loss_hessian_sqrt_saturated_logits_gradient_finite():
+    """Regression: differentiating the TYPE2 loss-Hessian sqrt w.r.t. the
+    logits must stay finite when the softmax saturates (a class probability
+    underflows to exactly 0). The naive sqrt(softmax(f)) form has
+    sqrt'(0) = inf there, which poisoned the adjacency with NaNs during
+    marglik hypersteps on well-fit models; exp(log_softmax / 2) underflows
+    gracefully. (The torch reference shares the naive-form hazard,
+    curvlinops/kfac_utils.py:15.)"""
+    from laplace_gnn_tpu.curvature.losses import loss_hessian_sqrt
+
+    f = jnp.array([[800.0, 0.0, -300.0], [-500.0, 200.0, 100.0]])
+    S = loss_hessian_sqrt("classification", f)
+    assert np.all(np.isfinite(np.asarray(S)))
+
+    g = jax.grad(lambda ff: jnp.sum(
+        loss_hessian_sqrt("classification", ff) ** 2))(f)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+    # value parity with the naive form away from saturation
+    f2 = jax.random.normal(jax.random.PRNGKey(0), (5, 4))
+    p = jax.nn.softmax(f2, axis=-1)
+    naive = jax.vmap(lambda pi, si: jnp.diag(si) - jnp.outer(pi, si))(
+        p, jnp.sqrt(p))
+    np.testing.assert_allclose(
+        np.asarray(loss_hessian_sqrt("classification", f2)),
+        np.asarray(naive), atol=1e-12)
