@@ -281,6 +281,36 @@ def bench_absolute(X, adj, y, n_train=140):
     }
 
 
+def bench_full_train(X, adj, y):
+    """Whole-training product metric: a 200-epoch Cora-sized STE-GCN
+    structure-learning run (80 marglik hypersteps) as ONE jitted program,
+    timed warm (the cached-executable path a grid search takes)."""
+    import jax
+    import jax.numpy as jnp
+
+    from laplace_gnn_tpu.models import STEGCN
+    from laplace_gnn_tpu.training import marglik_optimization_scan
+
+    model = STEGCN(N_FEAT, HIDDEN, N_CLASS, 2, jnp.asarray(X),
+                   jnp.asarray(adj), dropout_p=0.0)
+    params = model.init(jax.random.PRNGKey(0))
+    tr, va = np.arange(140), np.arange(140, 640)
+    kw = dict(lr=1e-3, lr_adj=0.8, weight_decay=5e-5, n_epochs=200,
+              n_hypersteps=10, n_epochs_burnin=50, marglik_frequency=20,
+              grad_norm=True, model_type="stegcn")
+    log("compiling full-training scan program...")
+    marglik_optimization_scan(model, params, tr, y[:140], va, y[140:640],
+                              **kw)
+    t0 = time.perf_counter()
+    r, pf, losses, _, nms = marglik_optimization_scan(
+        model, params, tr, y[:140], va, y[140:640], **kw)
+    t = time.perf_counter() - t0
+    assert np.isfinite(np.asarray(pf["adj"])).all(), "NaN in trained adj"
+    log(f"full 200-epoch training (warm, one jitted program): {t:.2f}s "
+        f"(loss {losses[0]:.3f}->{losses[-1]:.3f})")
+    return t
+
+
 def bench_torch_cpu(X, adj, y, n_train=140, repeats=1):
     """Torch-CPU hyperstep with the reference's strategy: KFAC factors via
     per-column backward passes with retained graphs, differentiable marglik,
@@ -357,6 +387,10 @@ def main():
         extras = {}
     extras["fwd_ms"] = round(t_fwd * 1e3, 4)
     extras["fwd_medges_per_s"] = round(edges_per_s / 1e6, 1)
+    try:
+        extras["train_200ep_warm_s"] = round(bench_full_train(X, adj, y), 3)
+    except Exception as e:
+        log(f"full-training bench failed: {e}")
     try:
         t_torch = bench_torch_cpu(X, adj, y)
         vs_baseline = t_torch / t_hyper

@@ -249,12 +249,15 @@ def run_experiment(args_dict: dict, verbose: bool = True) -> dict:
                       f"{gh:.3f}, {trh:.3f}, {teh:.3f}")
 
             spec = model_specific_args(args_dict, hp, jnp.asarray(tr))
+            # one model per split: models are stateless (params explicit),
+            # and sharing the instance lets repeats reuse the cached jitted
+            # training programs (marglik_gnn._build_training_programs)
+            model = MODEL_REGISTRY[args_dict["model_type"]](
+                **common, **spec)
             for repeat in range(args_dict["n_repeats"]):
                 if verbose:
                     print("-" * 20, f"Split: {split_idx + 1} / {n_splits} "
                           f"(Repeat {repeat + 1})", "-" * 20)
-                model = MODEL_REGISTRY[args_dict["model_type"]](
-                    **common, **spec)
                 params = model.init(
                     jax.random.PRNGKey(args_dict.get("seed", 0) + repeat))
                 results, _, losses, val_losses, neg_margliks = \
