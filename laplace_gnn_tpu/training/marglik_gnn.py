@@ -288,10 +288,25 @@ def _build_training_programs(model, params, *, lr, weight_decay, lr_adj,
         f = model.apply(params, vidx)
         return (_ce_mean(f, vy), jnp.mean(jnp.argmax(f, axis=1) == vy))
 
+    # fused per-epoch tracking: ONE device->host fetch per epoch instead of
+    # four (each fetch costs ~28 ms on tunneled TPU backends, see bench.py)
+    @jax.jit
+    def epoch_metrics(params, loss, idx, yy, vidx, vy):
+        nm = neg_marglik_fn(params, idx, yy)
+        f = model.apply(params, vidx)
+        return jnp.stack([loss, nm, _ce_mean(f, vy),
+                          jnp.mean(jnp.argmax(f, axis=1) == vy)])
+
+    @jax.jit
+    def epoch_metrics_noval(params, loss, idx, yy):
+        return jnp.stack([loss, neg_marglik_fn(params, idx, yy)])
+
     progs = {"weight_opt": weight_opt, "adj_opt": adj_opt,
              "train_step": train_step, "hyperstep": hyperstep,
              "neg_marglik_eval": neg_marglik_eval,
-             "val_metrics": val_metrics}
+             "val_metrics": val_metrics,
+             "epoch_metrics": epoch_metrics,
+             "epoch_metrics_noval": epoch_metrics_noval}
     if key is not None:
         cache[key] = progs
     return progs
@@ -389,7 +404,6 @@ def marglik_optimization(model, params,
         params, weight_state, loss, acc = train_step(params, weight_state,
                                                      train_indices,
                                                      train_labels)
-        losses.append(float(loss))
 
         # --- adjacency hypersteps (reference :194-224) ---------------------
         if (epoch < n_hyper_stop and not no_adj_update
@@ -412,15 +426,22 @@ def marglik_optimization(model, params,
                         _adj)
             print_graph_stats(params)
 
-        # --- per-epoch marglik + valloss tracking (reference :261-303) ------
-        nm = float(neg_marglik_eval(params, train_indices, train_labels))
-        neg_margliks.append(nm)
+        # --- per-epoch marglik + valloss tracking (reference :261-303),
+        # fused into ONE device->host fetch -------------------------------
         if val_indices is not None:
-            vl, va = val_metrics(params, val_indices, val_labels)
-            vl, va = float(vl), float(va)
+            m = np.asarray(progs["epoch_metrics"](
+                params, loss, train_indices, train_labels,
+                val_indices, val_labels))
+            loss_f, nm, vl, va = (float(m[0]), float(m[1]),
+                                  float(m[2]), float(m[3]))
             val_losses.append(vl)
         else:
+            m = np.asarray(progs["epoch_metrics_noval"](
+                params, loss, train_indices, train_labels))
+            loss_f, nm = float(m[0]), float(m[1])
             vl = va = np.nan
+        losses.append(loss_f)
+        neg_margliks.append(nm)
 
         if ("ste" not in model_type) or epoch > n_epochs_burnin:
             if not early_stop or marglik_patience < PATIENCE:
@@ -450,7 +471,7 @@ def marglik_optimization(model, params,
                 marglik_patience += 1
 
         if verbose and epoch % log_every == 0:
-            print(f"Epoch {epoch}: Loss={float(loss):.3f}, "
+            print(f"Epoch {epoch}: Loss={loss_f:.3f}, "
                   f"Perf={float(acc):.3f}, Marglik={-nm:.3}, "
                   f"Val Loss={vl:.3f}, Val Acc={va:.3f}")
 
@@ -523,6 +544,7 @@ def marglik_optimization_scan(model, params,
                               hessian_structure: str = "kron",
                               prior_precision: float = 1.0,
                               grad_norm: bool = False,
+                              early_stop: bool = False,
                               model_type: str = "stegcn"):
     """TPU-throughput variant of :func:`marglik_optimization`: the ENTIRE
     training run — every epoch, every hyperstep, best-model tracking for
@@ -531,9 +553,12 @@ def marglik_optimization_scan(model, params,
     tunneled TPU backends a single device->host fetch permanently degrades
     dispatch latency ~300x; see bench.py).
 
-    Semantics match the eager loop with ``early_stop=False`` (the
-    reference's default); patience-based stopping needs host control flow
-    and lives in the eager variant. Returns
+    ``early_stop=True`` implements the reference's PATIENCE-based dual
+    criterion (gnn/marglik_training.py:279-303) on-device: best tracking
+    freezes once a criterion's patience is exhausted, and exhausting the
+    marglik patience halts further adjacency hypersteps (the lax.fori_loop
+    keeps running weight epochs, exactly like the eager loop, which also
+    only sets ``no_adj_update`` rather than breaking). Returns
     (results, final_params, losses, val_losses, neg_margliks) with traces
     as numpy arrays.
     """
@@ -552,7 +577,7 @@ def marglik_optimization_scan(model, params,
         subset_of_weights=subset_of_weights,
         hessian_structure=hessian_structure,
         prior_precision=prior_precision, grad_norm=grad_norm,
-        model_type=model_type, N=N)
+        early_stop=early_stop, model_type=model_type, N=N)
 
     params_final, traces, best = run(params, train_indices, train_labels,
                                      val_indices, val_labels)
@@ -573,7 +598,7 @@ def _build_scan_run(model, params, *, lr, lr_adj, weight_decay,
                     weight_decay_adj, momentum_adj, n_epochs, n_hypersteps,
                     n_epochs_burnin, n_hyper_stop, marglik_frequency,
                     subset_of_weights, hessian_structure, prior_precision,
-                    grad_norm, model_type, N):
+                    grad_norm, early_stop, model_type, N):
     """The whole-training jitted program of
     :func:`marglik_optimization_scan`, cached per model x static config with
     the split data as traced arguments. Re-tracing this program costs ~2 s
@@ -584,7 +609,7 @@ def _build_scan_run(model, params, *, lr, lr_adj, weight_decay,
                       momentum_adj, n_epochs, n_hypersteps, n_epochs_burnin,
                       n_hyper_stop, marglik_frequency, subset_of_weights,
                       hessian_structure, prior_precision, grad_norm,
-                      model_type, N)
+                      early_stop, model_type, N)
     cache = _model_program_cache(model)
     if key is not None and key in cache:
         return cache[key]
@@ -643,6 +668,10 @@ def _build_scan_run(model, params, *, lr, lr_adj, weight_decay,
             "nm_params": params,
             "vl": jnp.inf, "vl_epoch": jnp.asarray(0),
             "vl_params": params,
+            # PATIENCE early-stop state (reference :279-303); only consumed
+            # when early_stop is compiled in
+            "m_pat": jnp.asarray(0), "v_pat": jnp.asarray(0),
+            "no_adj": jnp.asarray(False),
         }
 
         def epoch_body(i, carry):
@@ -654,6 +683,8 @@ def _build_scan_run(model, params, *, lr, lr_adj, weight_decay,
                 do_hyper = ((epoch < n_hyper_stop)
                             & (epoch % marglik_frequency == 0)
                             & (epoch >= n_epochs_burnin))
+                if early_stop:
+                    do_hyper = do_hyper & jnp.logical_not(best["no_adj"])
                 params, astate = jax.lax.cond(
                     do_hyper,
                     lambda pa: hyper_phase(*pa, tr_idx, tr_y),
@@ -670,9 +701,23 @@ def _build_scan_run(model, params, *, lr, lr_adj, weight_decay,
             }
 
             track = True if not is_ste else (epoch > n_epochs_burnin)
-            upd_m = jnp.logical_and(track, nm < best["nm"])
-            upd_v = jnp.logical_and(track, vl < best["vl"])
+            # a criterion stays active until its patience is exhausted
+            # (mirrors the eager loop exactly: the patience counter and the
+            # no-more-graph-updates flag advance in the same order)
+            m_active = (best["m_pat"] < PATIENCE) if early_stop else True
+            v_active = (best["v_pat"] < PATIENCE) if early_stop else True
+            upd_m = track & m_active & (nm < best["nm"])
+            upd_v = track & v_active & (vl < best["vl"])
             sel = jax.tree_util.tree_map
+            m_pat, v_pat, no_adj = best["m_pat"], best["v_pat"], best["no_adj"]
+            if early_stop:
+                m_pat = jnp.where(track & m_active,
+                                  jnp.where(upd_m, 0, m_pat + 1), m_pat)
+                v_pat = jnp.where(track & v_active,
+                                  jnp.where(upd_v, 0, v_pat + 1), v_pat)
+                hit = track & (m_pat == PATIENCE)
+                no_adj = no_adj | hit
+                m_pat = jnp.where(hit, m_pat + 1, m_pat)
             best = {
                 "nm": jnp.where(upd_m, nm, best["nm"]),
                 "nm_epoch": jnp.where(upd_m, epoch, best["nm_epoch"]),
@@ -682,6 +727,7 @@ def _build_scan_run(model, params, *, lr, lr_adj, weight_decay,
                 "vl_epoch": jnp.where(upd_v, epoch, best["vl_epoch"]),
                 "vl_params": sel(lambda new, old: jnp.where(upd_v, new, old),
                                  params, best["vl_params"]),
+                "m_pat": m_pat, "v_pat": v_pat, "no_adj": no_adj,
             }
             return params, wstate, astate, traces, best
 

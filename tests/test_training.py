@@ -187,6 +187,40 @@ def test_scan_loop_matches_eager(karate):
                                np.asarray(p2["adj"]), atol=1e-6)
 
 
+def test_scan_loop_matches_eager_early_stop(karate):
+    """On-device PATIENCE early-stop (reference :279-303) must reproduce the
+    eager loop: same best epochs, same frozen best params, same traces. A
+    short patience is forced by monkeypatching PATIENCE so the dual
+    criterion actually triggers within a small run."""
+    import laplace_gnn_tpu.training.marglik_gnn as mg
+    from laplace_gnn_tpu.training import marglik_optimization_scan
+    d = karate
+    tr, va, te = d.split(0)
+    kwargs = dict(lr=0.03, lr_adj=0.2, weight_decay=5e-4, n_epochs=14,
+                  n_hypersteps=2, n_epochs_burnin=2, marglik_frequency=3,
+                  early_stop=True, model_type="stegcn")
+    old = mg.PATIENCE
+    mg.PATIENCE = 3
+    try:
+        model, params = build_model(d)
+        r1, p1, l1, v1, n1 = marglik_optimization(
+            model, params, tr, d.y[tr], va, d.y[va], verbose=False, **kwargs)
+        r2, p2, l2, v2, n2 = marglik_optimization_scan(
+            model, params, tr, d.y[tr], va, d.y[va], **kwargs)
+    finally:
+        mg.PATIENCE = old
+    np.testing.assert_allclose(np.asarray(l1), l2, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(n1), n2, rtol=1e-5, atol=1e-5)
+    assert r1["marglik"]["epoch"] == r2["marglik"]["epoch"]
+    assert r1["valloss"]["epoch"] == r2["valloss"]["epoch"]
+    for crit in ("marglik", "valloss"):
+        np.testing.assert_allclose(
+            np.asarray(r1[crit]["params"]["adj"]),
+            np.asarray(r2[crit]["params"]["adj"]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(p1["adj"]),
+                               np.asarray(p2["adj"]), atol=1e-6)
+
+
 @pytest.mark.slow
 def test_sparse_experiment_cli():
     from laplace_gnn_tpu.training.sparse_experiment import main
