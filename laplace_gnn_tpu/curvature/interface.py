@@ -256,8 +256,57 @@ class GGNBackend(CurvatureBackend):
             H = jnp.einsum("bcp,bck,bkq->pq", Js, H_lik, Js)
         return self.factor * self.lossfunc(f, y), H
 
-    def diag(self, X, y, N=None):
-        Js, f = self._jacs(X)
+    def diag(self, X, y, N=None, row_chunk: Optional[int] = None):
+        """GGN/Fisher diagonal, memory-bounded.
+
+        Above a few hundred samples the full Jacobian stack (M, C, P) and
+        the fully-vmapped M*C pullbacks behind it exhaust HBM (each
+        pullback of a whole-graph GNN materializes full-graph
+        intermediates). ``row_chunk`` samples are processed per sweep and
+        the diagonal accumulated on the fly — the full Js never exists.
+        Defaults to an automatic chunk targeting ~256 MB of Jacobian rows;
+        small problems keep the single fully-vmapped program."""
+        if self.last_layer and getattr(self.model, "last_layer_closed_form",
+                                       False):
+            Js, f = self.last_layer_jacobians(X)
+            return self._diag_from_js(Js, f, y)
+
+        f, pullback = jax.vjp(lambda w_: self.model_fn(w_, X), self.w)
+        M, C = f.shape
+        if row_chunk is None:
+            row_chunk = self.jac_chunk_size
+        if row_chunk is None:
+            P = tree_size(self.w)
+            row_chunk = max(1, int(2 ** 28) // max(1, C * P * 4))
+        if row_chunk >= M:
+            Js, f2 = self._jacs(X)
+            return self._diag_from_js(Js, f2, y)
+
+        H_lik = self._functional_middle(f)
+        eye = jnp.eye(C, dtype=f.dtype)
+
+        def row(m, c):
+            valid = (m < M).astype(f.dtype)
+            cot = jnp.zeros_like(f).at[jnp.minimum(m, M - 1)].set(
+                eye[c] * valid)
+            return tree_vector(pullback(cot)[0])
+
+        def chunk_h(ms):
+            Js_c = jax.vmap(lambda m: jax.vmap(
+                lambda c: row(m, c))(jnp.arange(C)))(ms)
+            if H_lik is None:
+                return jnp.einsum("bcp,bcp->p", Js_c, Js_c)
+            Hc = H_lik[jnp.minimum(ms, M - 1)]
+            return jnp.einsum("bcp,bck,bkp->p", Js_c, Hc, Js_c)
+
+        pad = (-M) % row_chunk
+        ms = jnp.arange(M + pad).reshape(-1, row_chunk)
+        h = jnp.sum(jax.lax.map(chunk_h, ms), axis=0)
+        if self.subnetwork_indices is not None:
+            h = h[self.subnetwork_indices]
+        return self.factor * self.lossfunc(f, y), h
+
+    def _diag_from_js(self, Js, f, y):
         H_lik = self._functional_middle(f)
         if H_lik is None:
             h = jnp.einsum("bcp,bcp->p", Js, Js)

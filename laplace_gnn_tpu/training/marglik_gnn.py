@@ -258,9 +258,12 @@ def _build_training_programs(model, params, *, lr, weight_decay, lr_adj,
         prior_precision)
 
     @jax.jit
-    def train_step(params, opt_state, idx, yy):
+    def train_step(params, opt_state, idx, yy, rng):
+        # train mode: dropout active, exactly like the reference's epoch
+        # loop (model.train(), gnn/marglik_training.py:166-170); Laplace
+        # fits and marglik evaluations below stay in eval mode
         def obj(p):
-            f = model.apply(p, idx)
+            f = model.apply(p, idx, rng=rng, train=True)
             return _ce_mean(f, yy), f
 
         (loss, f), g = jax.value_and_grad(obj, has_aux=True)(params)
@@ -403,7 +406,7 @@ def marglik_optimization(model, params,
         rng, sub = jax.random.split(rng)
         params, weight_state, loss, acc = train_step(params, weight_state,
                                                      train_indices,
-                                                     train_labels)
+                                                     train_labels, sub)
 
         # --- adjacency hypersteps (reference :194-224) ---------------------
         if (epoch < n_hyper_stop and not no_adj_update
@@ -631,9 +634,10 @@ def _build_scan_run(model, params, *, lr, lr_adj, weight_decay,
         model, "classification", hessian_structure, subset_of_weights, N,
         prior_precision)
 
-    def train_step(params, wstate, tr_idx, tr_y):
+    def train_step(params, wstate, tr_idx, tr_y, rng):
         def obj(p):
-            return _ce_mean(model.apply(p, tr_idx), tr_y)
+            return _ce_mean(model.apply(p, tr_idx, rng=rng, train=True),
+                            tr_y)
 
         loss, g = jax.value_and_grad(obj)(params)
         g = _zero_masked_out(g, weight_mask)
@@ -675,9 +679,13 @@ def _build_scan_run(model, params, *, lr, lr_adj, weight_decay,
         }
 
         def epoch_body(i, carry):
-            params, wstate, astate, traces, best = carry
+            params, wstate, astate, rng, traces, best = carry
             epoch = i + 1
-            params, wstate, loss = train_step(params, wstate, tr_idx, tr_y)
+            # identical rng chain to the eager loop (split per epoch, use
+            # the subkey) so trajectories match exactly under dropout
+            rng, sub = jax.random.split(rng)
+            params, wstate, loss = train_step(params, wstate, tr_idx, tr_y,
+                                              sub)
 
             if not no_adj_update:
                 do_hyper = ((epoch < n_hyper_stop)
@@ -729,10 +737,12 @@ def _build_scan_run(model, params, *, lr, lr_adj, weight_decay,
                                  params, best["vl_params"]),
                 "m_pat": m_pat, "v_pat": v_pat, "no_adj": no_adj,
             }
-            return params, wstate, astate, traces, best
+            return params, wstate, astate, rng, traces, best
 
-        params, wstate, astate, traces, best = jax.lax.fori_loop(
-            0, n_epochs, epoch_body, (params, wstate, astate, traces, best))
+        rng0 = jax.random.PRNGKey(0)
+        params, wstate, astate, _, traces, best = jax.lax.fori_loop(
+            0, n_epochs, epoch_body,
+            (params, wstate, astate, rng0, traces, best))
         return params, traces, best
 
     if key is not None:

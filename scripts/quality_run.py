@@ -28,14 +28,25 @@ def main():
     p.add_argument("--dataset", default="sbm-cora")
     p.add_argument("--model_type", default="stegcn",
                    choices=["stegcn", "gcn", "gat"])
+    # defaults mirror the reference's Cora STE-GCN recipe
+    # (/root/reference/gnn/configs/original/stegcn_config.yaml: Default +
+    # Cora sections), except hessian_structure where kron exercises the
+    # flagship differentiable-KFAC path (pass --hessian_structure diag for
+    # the reference's exact Default)
     p.add_argument("--hidden_channels", type=int, default=64)
     p.add_argument("--n_epochs", type=int, default=200)
-    p.add_argument("--n_epochs_burnin", type=int, default=100)
+    p.add_argument("--n_epochs_burnin", type=int, default=50)
+    p.add_argument("--n_hyper_stop", type=int, default=150)
     p.add_argument("--marglik_frequency", type=int, default=20)
     p.add_argument("--n_hypersteps", type=int, default=10)
-    p.add_argument("--lr", type=float, default=1e-2)
-    p.add_argument("--lr_adj", type=float, default=0.03)
-    p.add_argument("--weight_decay", type=float, default=5e-4)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--lr_adj", type=float, default=0.8)
+    p.add_argument("--momentum_adj", type=float, default=0.9)
+    p.add_argument("--weight_decay", type=float, default=5e-5)
+    p.add_argument("--weight_decay_adj", type=float, default=5e-4)
+    p.add_argument("--dropout_p", type=float, default=0.5)
+    p.add_argument("--no_grad_norm", action="store_true")
+    p.add_argument("--no_symmetric", action="store_true")
     p.add_argument("--hessian_structure", default="kron")
     p.add_argument("--split", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
@@ -74,7 +85,8 @@ def main():
 
     X = jnp.asarray(data.x)
     cls = {"stegcn": STEGCN, "gcn": GCN, "gat": GAT}[args.model_type]
-    kw = dict(dropout_p=0.0)
+    kw = dict(dropout_p=args.dropout_p,
+              symmetric=not args.no_symmetric)
     if args.model_type == "gat":
         kw["heads"] = 1
     model = cls(data.num_features, args.hidden_channels, data.num_classes,
@@ -87,9 +99,13 @@ def main():
         model, params, jnp.asarray(tr), y[jnp.asarray(tr)],
         val_indices=jnp.asarray(va), val_labels=y[jnp.asarray(va)],
         n_epochs=args.n_epochs, n_epochs_burnin=args.n_epochs_burnin,
+        n_hyper_stop=args.n_hyper_stop,
         marglik_frequency=args.marglik_frequency,
         n_hypersteps=args.n_hypersteps, lr=args.lr, lr_adj=args.lr_adj,
+        momentum_adj=args.momentum_adj,
         weight_decay=args.weight_decay,
+        weight_decay_adj=args.weight_decay_adj,
+        grad_norm=not args.no_grad_norm,
         hessian_structure=args.hessian_structure,
         model_type=args.model_type, stop_criterion="marglik",
         verbose=True, log_every=50)

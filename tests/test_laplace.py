@@ -135,6 +135,19 @@ def test_diag_laplace_equals_full_diagonal():
         1 / np.diag(np.asarray(full.posterior_precision)), atol=1e-10)
 
 
+def test_ggn_diag_row_chunked_matches_unchunked():
+    """The memory-bounded GGN diagonal (Jacobian row chunks accumulated on
+    the fly, incl. ragged padding masks) is exact."""
+    model, params, X, y, loader = setup("classification")
+    be = GGNBackend(model, params, "classification")
+    loss0, h0 = be.diag(X, y, row_chunk=10 ** 9)
+    for chunk in (1, 3, 4):
+        loss1, h1 = be.diag(X, y, row_chunk=chunk)
+        np.testing.assert_allclose(float(loss1), float(loss0), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(h1), np.asarray(h0),
+                                   atol=1e-10)
+
+
 @pytest.mark.parametrize("flavor", [FullLaplace, KronLaplace, DiagLaplace])
 @pytest.mark.slow
 def test_glm_predictive_classification(flavor):

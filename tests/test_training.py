@@ -187,6 +187,35 @@ def test_scan_loop_matches_eager(karate):
                                np.asarray(p2["adj"]), atol=1e-6)
 
 
+def test_scan_loop_matches_eager_with_dropout(karate):
+    """Training runs with dropout ACTIVE (reference model.train() epochs,
+    gnn/marglik_training.py:166-170); eager and scan loops share the same
+    per-epoch rng chain so their trajectories stay identical."""
+    from laplace_gnn_tpu.training import marglik_optimization_scan
+    d = karate
+    tr, va, te = d.split(0)
+    kwargs = dict(lr=0.03, lr_adj=0.2, weight_decay=5e-4, n_epochs=10,
+                  n_hypersteps=2, n_epochs_burnin=3, marglik_frequency=3,
+                  model_type="stegcn")
+    model = STEGCN(d.num_features, 8, d.num_classes, 2, jnp.asarray(d.x),
+                   d.adjacency(), dropout_p=0.5)
+    params = model.init(jax.random.PRNGKey(0))
+    r1, p1, l1, v1, n1 = marglik_optimization(
+        model, params, tr, d.y[tr], va, d.y[va], verbose=False, **kwargs)
+    r2, p2, l2, v2, n2 = marglik_optimization_scan(
+        model, params, tr, d.y[tr], va, d.y[va], **kwargs)
+    np.testing.assert_allclose(np.asarray(l1), l2, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(n1), n2, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(p1["adj"]),
+                               np.asarray(p2["adj"]), atol=1e-6)
+    # dropout must actually change the trajectory vs the eval-mode model
+    model0 = STEGCN(d.num_features, 8, d.num_classes, 2, jnp.asarray(d.x),
+                    d.adjacency(), dropout_p=0.0)
+    _, _, l0, _, _ = marglik_optimization(
+        model0, params, tr, d.y[tr], va, d.y[va], verbose=False, **kwargs)
+    assert not np.allclose(np.asarray(l0), l1)
+
+
 def test_scan_loop_matches_eager_early_stop(karate):
     """On-device PATIENCE early-stop (reference :279-303) must reproduce the
     eager loop: same best epochs, same frozen best params, same traces. A
