@@ -43,6 +43,16 @@ class SparseGraph:
     rem_src: Optional[jnp.ndarray] = None      # overflow edges beyond K
     rem_dst: Optional[jnp.ndarray] = None      # (dst-sorted)
     rem_w: Optional[jnp.ndarray] = None
+    # multi-level ELL: recursively packed compacted neighbor lists for
+    # high-degree rows whose edges overflow the previous level's K.
+    # Power-law graphs (ogbn-arxiv max degree ~13k) otherwise push a large
+    # fraction of edges through the slow per-edge segment-sum (~51 M
+    # edges/s vs ~107 M for the padded gather path, BENCH_NOTES); each
+    # extra level keeps its edges on the gather path (per-level padding
+    # bounded by the same budget) and lands in the output via one sorted
+    # unique-row scatter-add. Tuple of (rows (Nl,), cols (Nl, Kl),
+    # vals (Nl, Kl)) triples.
+    ell_levels: tuple = ()
     agg_dtype: Optional[str] = None            # e.g. 'bfloat16': halve the
     # random-gather HBM traffic of the aggregation (the throughput limiter at
     # scale, BENCH_NOTES); result is cast back to the input dtype
@@ -62,19 +72,24 @@ class SparseGraph:
         the unsorted scatter at ogbn-arxiv scale on v5e (BENCH_NOTES).
         """
         if self.agg_dtype is not None and x.dtype != jnp.dtype(self.agg_dtype):
+            import dataclasses
             in_dtype = x.dtype
-            g = SparseGraph(src=self.src, dst=self.dst, weights=self.weights,
-                            n_nodes=self.n_nodes, ell_cols=self.ell_cols,
-                            ell_vals=self.ell_vals, format=self.format,
-                            dst_sorted=self.dst_sorted, rem_src=self.rem_src,
-                            rem_dst=self.rem_dst, rem_w=self.rem_w)
+            g = dataclasses.replace(self, agg_dtype=None)
             return g.spmm(x.astype(self.agg_dtype)).astype(in_dtype)
         if self.format == "ell" and self.ell_cols is not None:
             gathered = x[self.ell_cols]                 # (N, K, d)
             out = jnp.einsum("nk,nkd->nd", self.ell_vals.astype(x.dtype),
                              gathered)
+            for rows_l, cols_l, vals_l in self.ell_levels:
+                # level-l: compacted lists for rows overflowing the previous
+                # level; lands via one sorted unique-row scatter-add (no
+                # per-edge segments)
+                gl = x[cols_l]                          # (Nl, Kl, d)
+                part = jnp.einsum("nk,nkd->nd", vals_l.astype(x.dtype), gl)
+                out = out.at[rows_l].add(
+                    part, unique_indices=True, indices_are_sorted=True)
             if self.rem_src is not None and self.rem_src.shape[0] > 0:
-                # high-degree overflow edges (hybrid ELL, bounded K)
+                # ultra-high-degree tail beyond level 2 (hybrid ELL)
                 msgs = (self.rem_w[:, None].astype(x.dtype)
                         * x[self.rem_src])
                 out = out + jax.ops.segment_sum(
@@ -126,19 +141,20 @@ class SparseGraph:
 
 def _sparse_flatten(g: SparseGraph):
     leaves = (g.src, g.dst, g.weights, g.ell_cols, g.ell_vals,
-              g.rem_src, g.rem_dst, g.rem_w)
+              g.rem_src, g.rem_dst, g.rem_w, g.ell_levels)
     aux = (g.n_nodes, g.format, g.dst_sorted, g.agg_dtype, g.symmetric)
     return leaves, aux
 
 
 def _sparse_unflatten(aux, leaves):
-    src, dst, weights, ell_cols, ell_vals, rem_src, rem_dst, rem_w = leaves
+    (src, dst, weights, ell_cols, ell_vals, rem_src, rem_dst, rem_w,
+     ell_levels) = leaves
     n_nodes, fmt, dst_sorted, agg_dtype, symmetric = aux
     return SparseGraph(src=src, dst=dst, weights=weights, n_nodes=n_nodes,
                        ell_cols=ell_cols, ell_vals=ell_vals, format=fmt,
                        dst_sorted=dst_sorted, rem_src=rem_src,
                        rem_dst=rem_dst, rem_w=rem_w, agg_dtype=agg_dtype,
-                       symmetric=symmetric)
+                       symmetric=symmetric, ell_levels=ell_levels)
 
 
 jax.tree_util.register_pytree_node(SparseGraph, _sparse_flatten,
@@ -309,6 +325,89 @@ class FastAggGraph:
         return self.spmm(x)
 
 
+def _choose_budgeted_k(counts: np.ndarray, pad_budget: float,
+                       total: int) -> int:
+    """Neighbor-list width minimizing the modeled aggregation cost
+
+        cost(k) = n * k  +  pad_budget * (total - in_ell(k))
+
+    i.e. padded gather reads plus overflow edges weighted by their relative
+    cost on the next tier (the deeper ELL level or the per-edge segment
+    path, both ~1.5x a level-1 padded read; measured on v5e, BENCH_NOTES).
+    This replaces round 1's coverage-targeting rule, which exploded K on
+    power-law graphs (ogbn-arxiv-like tails pushed K to the
+    ~99th-percentile degree — a 458 MB neighbor table for a 2.8 M-edge
+    graph) — overflow is the job of the deeper levels, not wider padding.
+    Vectorized via the degree histogram's tail-cumsum, O(N + max_deg)."""
+    ks, in_ell, n = _ell_coverage(counts)
+    if ks is None:
+        return 1
+    cost = n * ks + pad_budget * (total - in_ell)
+    return int(ks[np.argmin(cost)])
+
+
+def _ell_coverage(counts):
+    """(ks, in_ell(ks), n_rows) for k = 1..max_deg, vectorized via the
+    degree histogram's tail-cumsum."""
+    max_deg = int(counts.max()) if len(counts) else 0
+    if max_deg == 0:
+        return None, None, 0
+    hist = np.bincount(counts.astype(np.int64), minlength=max_deg + 1)
+    tail_rows = np.cumsum(hist[::-1])[::-1]        # rows with degree >= d
+    in_ell = np.cumsum(tail_rows[1:])              # edges covered at k=1..
+    ks = np.arange(1, max_deg + 1, dtype=np.int64)
+    return ks, in_ell, len(counts)
+
+
+def _max_coverage_k(counts, pad_budget: float) -> int:
+    """Largest width with padding within budget — used for the deeper
+    overflow levels, where maximizing coverage per level matters more than
+    minimizing padded reads (every level costs fixed gather/scatter
+    launches, and the final tail runs on the ~2x-slower segment path)."""
+    ks, in_ell, n = _ell_coverage(counts)
+    if ks is None:
+        return 1
+    ok = n * ks <= pad_budget * in_ell
+    if not ok.any():
+        return 1
+    return int(ks[ok].max())
+
+
+def _pack_one_level(rs, rd, rw, pad_budget: float):
+    """Pack dst-sorted overflow edges into a compacted (Nl, Kl) ELL over
+    their (high-degree) destination rows; edges beyond Kl stay as a
+    dst-sorted COO tail for the next level."""
+    rows_l, start = np.unique(rd, return_index=True)
+    counts_l = np.diff(np.append(start, len(rd)))
+    K = _max_coverage_k(counts_l, pad_budget)
+    nl = len(rows_l)
+    pos = np.arange(len(rd)) - np.repeat(start, counts_l)
+    sel = pos < K
+    row_of_edge = np.repeat(np.arange(nl), counts_l)
+    cols_l = np.zeros((nl, K), np.int32)
+    vals_l = np.zeros((nl, K), rw.dtype)
+    cols_l[row_of_edge[sel], pos[sel]] = rs[sel]
+    vals_l[row_of_edge[sel], pos[sel]] = rw[sel]
+    tail = ~sel
+    return ((rows_l.astype(np.int32), cols_l, vals_l),
+            rs[tail], rd[tail], rw[tail])
+
+
+def _pack_levels(rs, rd, rw, pad_budget: float, total_edges: int,
+                 max_levels: int = 4):
+    """Recursively pack overflow edges into up to ``max_levels`` compacted
+    ELL levels; whatever still overflows stays as the COO tail. A level is
+    only worth its extra gather+scatter launches when it carries real
+    volume, so packing stops once the overflow drops below ~0.5% of the
+    graph (the segment path handles a small tail fine)."""
+    floor = max(min(4096, max(total_edges // 4, 1)), total_edges // 200)
+    levels = []
+    while len(rs) >= floor and len(levels) < max_levels:
+        level, rs, rd, rw = _pack_one_level(rs, rd, rw, pad_budget)
+        levels.append(level)
+    return levels, rs, rd, rw
+
+
 def add_ell_format(g: SparseGraph, max_k: Optional[int] = None,
                    pad_budget: float = 1.5) -> SparseGraph:
     """Attach padded neighbor lists (hybrid ELLPACK).
@@ -335,7 +434,7 @@ def add_ell_format(g: SparseGraph, max_k: Optional[int] = None,
             counts = np.diff(offsets)
         max_deg = int(counts.max()) if len(counts) else 0
         if max_k is None:
-            max_k = native.choose_k(offsets, pad_budget)
+            max_k = _choose_budgeted_k(counts, pad_budget, len(src))
         K = min(max_k, max_deg)
         cols, vals64, rs, rd, rw64 = native.ell_pack(src, w64, offsets, K)
         vals = vals64.astype(w.dtype)
@@ -346,14 +445,7 @@ def add_ell_format(g: SparseGraph, max_k: Optional[int] = None,
         counts = np.bincount(dst, minlength=n)
         max_deg = int(counts.max()) if len(counts) else 0
         if max_k is None:
-            max_k = max_deg
-            total = max(len(src), 1)
-            for k in range(1, max_deg + 1):
-                in_ell = np.minimum(counts, k).sum()
-                if n * k <= pad_budget * in_ell or in_ell >= 0.98 * total:
-                    max_k = k
-                    if in_ell >= 0.9 * total:
-                        break
+            max_k = _choose_budgeted_k(counts, pad_budget, len(src))
         K = min(max_k, max_deg)
         cols = np.zeros((n, K), dtype=np.int32)
         vals = np.zeros((n, K), dtype=np.asarray(g.weights).dtype)
@@ -375,6 +467,11 @@ def add_ell_format(g: SparseGraph, max_k: Optional[int] = None,
         else:
             rs = rd = np.zeros(0, np.int64)
             rw = np.zeros(0, np.asarray(g.weights).dtype)
+    rs = np.asarray(rs)
+    rd = np.asarray(rd)
+    rw = np.asarray(rw)
+    levels, rs, rd, rw = _pack_levels(rs, rd, rw, pad_budget,
+                                      total_edges=len(src))
     return SparseGraph(src=g.src, dst=g.dst, weights=g.weights,
                        n_nodes=n, ell_cols=jnp.asarray(cols),
                        ell_vals=jnp.asarray(vals), format="ell",
@@ -382,4 +479,7 @@ def add_ell_format(g: SparseGraph, max_k: Optional[int] = None,
                        symmetric=g.symmetric,
                        rem_src=jnp.asarray(rs, dtype=jnp.int32),
                        rem_dst=jnp.asarray(rd, dtype=jnp.int32),
-                       rem_w=jnp.asarray(rw))
+                       rem_w=jnp.asarray(rw),
+                       ell_levels=tuple(
+                           (jnp.asarray(r), jnp.asarray(c), jnp.asarray(v))
+                           for r, c, v in levels))

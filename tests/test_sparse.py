@@ -61,6 +61,37 @@ def test_hybrid_ell_bounded_k_matches_segment(karate):
                                np.asarray(g_auto.spmm(x)), atol=1e-9)
 
 
+def test_three_tier_ell_power_law_matches_segment():
+    """Power-law degree graph (one hub with deg >> K): the level-2 ELL +
+    COO tail decomposition must reproduce the plain segment path exactly,
+    and actually populate all three tiers."""
+    rng = np.random.default_rng(0)
+    n = 120
+    # hub 0 connects to everyone, a mid-degree cluster, plus random edges
+    src = np.concatenate([np.arange(1, n), rng.integers(0, n, 300),
+                          np.tile(np.arange(40, 60), 3)])
+    dst = np.concatenate([np.zeros(n - 1, int), rng.integers(0, n, 300),
+                          np.repeat(np.arange(1, 4), 20)])
+    ei = np.stack([src, dst])
+    g = sparse_from_edge_index(ei, n, normalize="sym")
+    g_ell = add_ell_format(g, max_k=2, pad_budget=1.2)
+    assert len(g_ell.ell_levels) >= 1
+    assert g_ell.ell_levels[0][0].shape[0] > 0
+    # every edge is in exactly one tier
+    total = (int((np.asarray(g_ell.ell_vals) != 0).sum())
+             + sum(int((np.asarray(v) != 0).sum())
+                   for _, _, v in g_ell.ell_levels)
+             + g_ell.rem_src.shape[0])
+    assert total == g.n_edges
+    x = jax.random.normal(jax.random.PRNGKey(3), (n, 9))
+    np.testing.assert_allclose(np.asarray(g.spmm(x)),
+                               np.asarray(g_ell.spmm(x)), atol=1e-9)
+    # transpose preserves the decomposition and stays exact
+    gT = g_ell.transpose()
+    np.testing.assert_allclose(np.asarray(gT.spmm(x)),
+                               np.asarray(g.to_dense().T @ x), atol=1e-9)
+
+
 def test_agg_dtype_cast():
     import dataclasses
     rng = np.random.default_rng(0)

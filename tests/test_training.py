@@ -187,6 +187,35 @@ def test_scan_loop_matches_eager(karate):
                                np.asarray(p2["adj"]), atol=1e-6)
 
 
+def test_training_program_cache_reuse(karate):
+    """Repeated runs with the same config on one model must reuse the
+    cached jitted programs (grid-search pattern: re-tracing costs seconds
+    per run) while different configs get separate entries."""
+    from laplace_gnn_tpu.training import marglik_optimization_scan
+    d = karate
+    tr, va, te = d.split(0)
+    model, params = build_model(d)
+    kwargs = dict(lr=0.03, lr_adj=0.2, weight_decay=5e-4, n_epochs=4,
+                  n_hypersteps=1, n_epochs_burnin=1, marglik_frequency=2,
+                  model_type="stegcn")
+    marglik_optimization(model, params, tr, d.y[tr], va, d.y[va],
+                         verbose=False, **kwargs)
+    cache = model._jit_program_cache
+    assert len(cache) == 1
+    marglik_optimization(model, params, tr, d.y[tr], va, d.y[va],
+                         verbose=False, **kwargs)
+    assert len(cache) == 1  # second identical run reuses the entry
+    marglik_optimization(model, params, tr, d.y[tr], va, d.y[va],
+                         verbose=False, **dict(kwargs, lr=0.01))
+    assert len(cache) == 2  # config change gets its own entry
+    marglik_optimization_scan(model, params, tr, d.y[tr], va, d.y[va],
+                              **kwargs)
+    assert len(cache) == 3  # scan program cached separately
+    marglik_optimization_scan(model, params, tr, d.y[tr], va, d.y[va],
+                              **kwargs)
+    assert len(cache) == 3
+
+
 def test_scan_loop_matches_eager_with_dropout(karate):
     """Training runs with dropout ACTIVE (reference model.train() epochs,
     gnn/marglik_training.py:166-170); eager and scan loops share the same
