@@ -83,3 +83,9 @@ def test_bayesopt(capsys):
 def test_reward_modeling(capsys):
     run_example("08_reward_modeling.py")
     assert "reward modeling example OK" in capsys.readouterr().out
+
+
+@pytest.mark.slow
+def test_gp_calibration(capsys):
+    run_example("09_gp_calibration.py")
+    assert "gp calibration example OK" in capsys.readouterr().out
