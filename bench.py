@@ -109,16 +109,18 @@ def bench_jax(X, adj, y, n_train=140, K=50):
     log("compiling hyper loop...")
     _timed_loop(hyper_loop, params, 1)
     log("timing hyper loop...")
-    # best-of-3 on the K-vs-2K difference: the tunnel's dispatch jitter is
-    # one-sided (delays only), so the minimum is the noise-robust estimate
+    # median-of-5 on the K-vs-2K difference: tunnel delays are one-sided,
+    # but a delay landing INSIDE the first (K) segment biases the
+    # difference DOWN, so the minimum is not robust (it occasionally
+    # reports impossible speedups); the median rejects both directions
     diffs = []
-    for _ in range(3):
+    for _ in range(5):
         t_hyp_K = _timed_loop(hyper_loop, params, K)
         t_hyp_2K = _timed_loop(hyper_loop, params, 2 * K)
         diffs.append(t_hyp_2K - t_hyp_K)
 
     t_fwd = max((t_fwd_2K - t_fwd_K) / (3 * KF), 1e-9)
-    t_hyper = max(min(diffs) / K, 1e-9)
+    t_hyper = max(float(np.median(diffs)) / K, 1e-9)
 
     # now safe to fetch for sanity reporting
     nm_val = float(jax.jit(neg_marglik)(params, idx, yy))
@@ -129,6 +131,23 @@ def bench_jax(X, adj, y, n_train=140, K=50):
     log(f"jax hyperstep: {t_hyper * 1e3:.3f} ms (neg_marglik={nm_val:.2f})")
     assert np.isfinite(nm_val)
     return t_hyper, t_fwd, edges_per_s
+
+
+def _median_loop_time(loopfn, arg, K, reps=5):
+    """Median of `reps` chained K-vs-2K differences (see bench_jax: the
+    minimum is biased by delays inside the first segment)."""
+    import jax
+    import jax.numpy as jnp
+    jax.block_until_ready(loopfn(arg, jnp.asarray(1)))
+    diffs = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(loopfn(arg, jnp.asarray(K)))
+        t1 = time.perf_counter()
+        jax.block_until_ready(loopfn(arg, jnp.asarray(2 * K)))
+        t2 = time.perf_counter()
+        diffs.append((t2 - t1) - (t1 - t0))
+    return max(float(np.median(diffs)) / K, 1e-9)
 
 
 def bench_absolute(X, adj, y, n_train=140):
@@ -167,15 +186,7 @@ def bench_absolute(X, adj, y, n_train=140):
                 lambda a: a / jnp.maximum(nrm, 1e-30), gv)
         return jax.lax.fori_loop(0, K, body, v0)
 
-    K = 50
-    jax.block_until_ready(ggn_loop(be.w, 1))
-    t0 = time.perf_counter()
-    jax.block_until_ready(ggn_loop(be.w, K))
-    tK = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    jax.block_until_ready(ggn_loop(be.w, 2 * K))
-    t2K = time.perf_counter() - t0
-    t_ggn = max((t2K - tK) / K, 1e-9)
+    t_ggn = _median_loop_time(ggn_loop, be.w, 50)
     # one GGN mvp = jvp fwd + vjp bwd = 2 full-graph passes, 2 agg each
     ggn_edges_per_s = 4 * n_edges / t_ggn
     log(f"ggn mat-vec: {t_ggn * 1e3:.3f} ms "
@@ -197,15 +208,7 @@ def bench_absolute(X, adj, y, n_train=140):
             return o / jnp.maximum(jnp.linalg.norm(o), 1e-30)
         return jax.lax.fori_loop(0, K, body, x)
 
-    KS = 200
-    jax.block_until_ready(spmm_loop(x0, 1))
-    t0 = time.perf_counter()
-    jax.block_until_ready(spmm_loop(x0, KS))
-    tK = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    jax.block_until_ready(spmm_loop(x0, 2 * KS))
-    t2K = time.perf_counter() - t0
-    t_spmm = max((t2K - tK) / KS, 1e-9)
+    t_spmm = _median_loop_time(spmm_loop, x0, 200)
     E = g.n_edges
     spmm_edges_per_s = E / t_spmm
     # gather-bound roofline: E rows of d fp32 gathered + N written from HBM
@@ -243,19 +246,9 @@ def bench_absolute(X, adj, y, n_train=140):
             return o / jnp.maximum(jnp.linalg.norm(o), 1e-30)
         return jax.lax.fori_loop(0, K, body, x)
 
-    KM = 100
-    jax.block_until_ready(full_mm(x0, 1))
-    jax.block_until_ready(chunk_mm(x0, 1))
-    t0 = time.perf_counter(); jax.block_until_ready(full_mm(x0, KM))
-    tf1 = time.perf_counter() - t0
-    t0 = time.perf_counter(); jax.block_until_ready(full_mm(x0, 2 * KM))
-    tf2 = time.perf_counter() - t0
-    t0 = time.perf_counter(); jax.block_until_ready(chunk_mm(x0, KM))
-    tc1 = time.perf_counter() - t0
-    t0 = time.perf_counter(); jax.block_until_ready(chunk_mm(x0, 2 * KM))
-    tc2 = time.perf_counter() - t0
-    t_full = max((tf2 - tf1) / KM, 1e-9)
-    t_chunk = max((tc2 - tc1) / KM, 1e-9)
+    # ~8 us/iter: needs a long chain for the diff to rise above jitter
+    t_full = _median_loop_time(full_mm, x0, 1000)
+    t_chunk = _median_loop_time(chunk_mm, x0, 500)
     ring_rows = ring_dense_projection(N_NODES, d, t_chunk, n_chips=(2, 4, 8))
     log(f"dense matmul: fused {t_full * 1e6:.1f} us, {n_sim}-chunk "
         f"{t_chunk * 1e6:.1f} us (chunking overhead "

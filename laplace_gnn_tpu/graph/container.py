@@ -342,8 +342,18 @@ def _choose_budgeted_k(counts: np.ndarray, pad_budget: float,
     ks, in_ell, n = _ell_coverage(counts)
     if ks is None:
         return 1
-    cost = n * ks + pad_budget * (total - in_ell)
-    return int(ks[np.argmin(cost)])
+    # overflow edges cost ~2x a padded level-1 read on their way through
+    # the deeper levels / segment tail (gather + scatter-add + launches;
+    # measured on v5e GGN mat-vecs, BENCH_NOTES)
+    cost = n * ks + 2.0 * pad_budget * (total - in_ell)
+    k = int(ks[np.argmin(cost)])
+    # snap up to a multiple of 8: the gathered (N, K, d) block's middle
+    # dim feeds TPU sublanes, and measured medians show aligned K never
+    # loses (K=8 / K=16 / auto all within 2% on a deg-7 graph) while odd K
+    # risks misaligned-copy cliffs — so the extra padding is free insurance
+    if k > 4:
+        k = min(int(-(-k // 8) * 8), int(ks[-1]))
+    return k
 
 
 def _ell_coverage(counts):
@@ -450,23 +460,13 @@ def add_ell_format(g: SparseGraph, max_k: Optional[int] = None,
         cols = np.zeros((n, K), dtype=np.int32)
         vals = np.zeros((n, K), dtype=np.asarray(g.weights).dtype)
         offsets = np.concatenate([[0], np.cumsum(counts)])
-        rem_src, rem_dst, rem_w = [], [], []
-        for i in range(n):
-            k = int(counts[i])
-            kk = min(k, K)
-            cols[i, :kk] = src[offsets[i]: offsets[i] + kk]
-            vals[i, :kk] = w[offsets[i]: offsets[i] + kk]
-            if k > K:
-                rem_src.append(src[offsets[i] + K: offsets[i] + k])
-                rem_dst.append(np.full(k - K, i, dtype=np.int64))
-                rem_w.append(w[offsets[i] + K: offsets[i] + k])
-        if rem_src:
-            rs = np.concatenate(rem_src)
-            rd = np.concatenate(rem_dst)
-            rw = np.concatenate(rem_w)
-        else:
-            rs = rd = np.zeros(0, np.int64)
-            rw = np.zeros(0, np.asarray(g.weights).dtype)
+        # vectorized fill: position of each edge within its dst's run
+        pos = np.arange(len(dst)) - offsets[dst]
+        sel = pos < K
+        cols[dst[sel], pos[sel]] = src[sel]
+        vals[dst[sel], pos[sel]] = w[sel]
+        tail = ~sel
+        rs, rd, rw = src[tail], dst[tail].astype(np.int64), w[tail]
     rs = np.asarray(rs)
     rd = np.asarray(rd)
     rw = np.asarray(rw)
