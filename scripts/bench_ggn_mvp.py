@@ -63,13 +63,18 @@ def main():
     # the K-vs-2K difference so dispatch overhead cancels
     K = 20
     jax.block_until_ready(powk(v0, K))
-    jax.block_until_ready(powk(v0, 2 * K))
-    t0 = time.perf_counter()
-    jax.block_until_ready(powk(v0, K))
-    t1 = time.perf_counter()
     v2 = jax.block_until_ready(powk(v0, 2 * K))
-    t2 = time.perf_counter()
-    warm = ((t2 - t1) - (t1 - t0)) / K
+    # median of 5 chained K-vs-2K differences (min is biased by delays
+    # inside the first segment; see BENCH_NOTES methodology note)
+    diffs = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        jax.block_until_ready(powk(v0, K))
+        t1 = time.perf_counter()
+        jax.block_until_ready(powk(v0, 2 * K))
+        t2 = time.perf_counter()
+        diffs.append((t2 - t1) - (t1 - t0))
+    warm = float(np.median(diffs)) / K
     lam = float(jnp.dot(v2, op.matvec(v2)))
     # 4 aggregations (2 layers x jvp fwd + vjp bwd) per matvec
     print(f"GGN matvec: {warm * 1e3:.1f} ms warm "

@@ -79,13 +79,16 @@ def main():
         jax.block_until_ready(loop(params, jnp.asarray(1)))
         print(f"{fisher} chunk={chunk}: compile+1it {time.perf_counter()-t0:.1f}s",
               flush=True)
-        t0 = time.perf_counter()
-        jax.block_until_ready(loop(params, jnp.asarray(K)))
-        t1 = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        jax.block_until_ready(loop(params, jnp.asarray(2 * K)))
-        t2 = time.perf_counter() - t0
-        print(f"{fisher} chunk={chunk}: marglik hyperstep {(t2-t1)/K*1e3:.1f} ms",
+        diffs = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            jax.block_until_ready(loop(params, jnp.asarray(K)))
+            t1 = time.perf_counter()
+            jax.block_until_ready(loop(params, jnp.asarray(2 * K)))
+            t2 = time.perf_counter()
+            diffs.append((t2 - t1) - (t1 - t0))
+        t = float(np.median(diffs)) / K
+        print(f"{fisher} chunk={chunk}: marglik hyperstep {t*1e3:.1f} ms",
               flush=True)
 
 
