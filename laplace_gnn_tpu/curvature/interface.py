@@ -271,10 +271,24 @@ class GGNBackend(CurvatureBackend):
             Js, f = self.last_layer_jacobians(X)
             return self._diag_from_js(Js, f, y)
 
-        f, pullback = jax.vjp(lambda w_: self.model_fn(w_, X), self.w)
-        M, C = f.shape
+        # decide the path BEFORE building the vjp: on the common small-M
+        # path the vjp forward (with retained full-graph residuals) would be
+        # paid and thrown away, since _jacs redoes the forward itself
+        M = int(jnp.shape(y)[0])
         if row_chunk is None:
             row_chunk = self.jac_chunk_size
+        if row_chunk is None:
+            C = getattr(self.model, "n_outputs", None) or getattr(
+                self.model, "out_channels", None)
+            if C is not None:
+                P = tree_size(self.w)
+                row_chunk = max(1, int(2 ** 28) // max(1, int(C) * P * 4))
+        if row_chunk is not None and row_chunk >= M:
+            Js, f2 = self._jacs(X)
+            return self._diag_from_js(Js, f2, y)
+
+        f, pullback = jax.vjp(lambda w_: self.model_fn(w_, X), self.w)
+        M, C = f.shape
         if row_chunk is None:
             P = tree_size(self.w)
             row_chunk = max(1, int(2 ** 28) // max(1, C * P * 4))

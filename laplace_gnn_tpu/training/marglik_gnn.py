@@ -80,11 +80,16 @@ def make_neg_marglik_fn(model, likelihood: str, hessian_structure: str,
     if (cache_static_factors and hessian_structure == "kron"
             and getattr(model, "first_tap_static", False)
             and subset_of_weights == "all"):
+        from ..curvature.losses import likelihood_factor as _lf
         Xfull = model.X
         A0 = (Xfull.T @ Xfull) / N
         lam, _ = jnp.linalg.eigh(A0)
         site0 = model.tap_sites(None)[0]["name"]
-        static_A_eigvals[site0] = jnp.clip(lam, min=0.0)
+        # the backend returns `kron * factor`, which scales a len-2 group's
+        # A by sqrt(factor) (laplace/kron.py:80-87) — bake that in so the
+        # cache is exact for regression (factor 0.5) too
+        static_A_eigvals[site0] = jnp.clip(lam, min=0.0) * jnp.sqrt(
+            _lf(likelihood))
 
     def _kron_logdet(kron, group_sites, prior_prec):
         """log det (H_factor * (B (x) A) + delta I) per block, using cached
@@ -101,14 +106,22 @@ def make_neg_marglik_fn(model, likelihood: str, hessian_structure: str,
         # pass 1: unique dense factors that need an eigendecomposition.
         # Dedup is semantic — a site's weight and bias groups share the same
         # B matrix, but after `kron * factor` they are distinct (equal)
-        # tensors, so the key is (site, role), not object identity.
+        # tensors, so the key is (site, role), not object identity. The
+        # equality only holds when the likelihood factor is 1.0: Kron.__mul__
+        # scales len-1 groups by factor but len-2 groups by sqrt(factor)
+        # (laplace/kron.py:80-87), so for regression (factor 0.5) the
+        # group length enters the key and the two Bs decompose separately.
+        from ..curvature.losses import likelihood_factor
+        shared_b = likelihood_factor(likelihood) == 1.0
         tasks, task_idx = [], {}
 
-        def _task_key(site_name, role, f):
-            return (site_name, role) if site_name is not None else id(f)
+        def _task_key(site_name, role, f, glen):
+            if site_name is None:
+                return id(f)
+            return (site_name, role) if shared_b else (site_name, role, glen)
 
-        def _add_task(site_name, role, f):
-            k = _task_key(site_name, role, f)
+        def _add_task(site_name, role, f, glen):
+            k = _task_key(site_name, role, f, glen)
             if k not in task_idx:
                 task_idx[k] = len(tasks)
                 tasks.append(f)
@@ -116,16 +129,17 @@ def make_neg_marglik_fn(model, likelihood: str, hessian_structure: str,
         for group, site_name in zip(kron.kfacs, group_sites):
             if len(group) == 1:
                 if group[0].ndim != 1:
-                    _add_task(site_name, "B", group[0])
+                    _add_task(site_name, "B", group[0], 1)
             else:
-                _add_task(site_name, "B", group[0])
+                _add_task(site_name, "B", group[0], 2)
                 if site_name not in static_A_eigvals:
-                    _add_task(site_name, "A", group[1])
+                    _add_task(site_name, "A", group[1], 2)
         eigs = batched_eigvalsh(tasks)
 
-        def lam_of(site_name, role, f):
-            return jnp.clip(eigs[task_idx[_task_key(site_name, role, f)]],
-                            min=0.0)
+        def lam_of(site_name, role, f, glen):
+            return jnp.clip(
+                eigs[task_idx[_task_key(site_name, role, f, glen)]],
+                min=0.0)
 
         out = 0.0
         for group, site_name in zip(kron.kfacs, group_sites):
@@ -133,15 +147,15 @@ def make_neg_marglik_fn(model, likelihood: str, hessian_structure: str,
                 if group[0].ndim == 1:   # mixed-structure exact-diag block
                     lb = jnp.clip(group[0], min=0.0)
                 else:
-                    lb = lam_of(site_name, "B", group[0])
+                    lb = lam_of(site_name, "B", group[0], 1)
                 out = out + jnp.sum(jnp.log(H_factor * lb + prior_prec))
             else:
                 B, A = group
-                lb = lam_of(site_name, "B", B)
+                lb = lam_of(site_name, "B", B, 2)
                 if site_name in static_A_eigvals:
                     la = static_A_eigvals[site_name]
                 else:
-                    la = lam_of(site_name, "A", A)
+                    la = lam_of(site_name, "A", A, 2)
                 out = out + jnp.sum(jnp.log(
                     jnp.outer(sqrt_f * lb, sqrt_f * la) + prior_prec))
         return out
@@ -235,9 +249,14 @@ def _build_training_programs(model, params, *, lr, weight_decay, lr_adj,
                              hessian_structure, subset_of_weights,
                              prior_precision, N, model_type):
     """Optimizers + the four jitted programs of the eager marglik loop."""
+    # PATIENCE and the params tree structure are baked into the compiled
+    # closures (masks are built from this params pytree), so both belong in
+    # the cache key: a monkeypatched PATIENCE or a structurally different
+    # params tree must not reuse a stale executable.
     key = _static_key("eager", lr, weight_decay, lr_adj, weight_decay_adj,
                       momentum_adj, grad_norm, hessian_structure,
-                      subset_of_weights, prior_precision, N, model_type)
+                      subset_of_weights, prior_precision, N, model_type,
+                      PATIENCE, jax.tree_util.tree_structure(params))
     cache = _model_program_cache(model)
     if key is not None and key in cache:
         return cache[key]
@@ -612,7 +631,8 @@ def _build_scan_run(model, params, *, lr, lr_adj, weight_decay,
                       momentum_adj, n_epochs, n_hypersteps, n_epochs_burnin,
                       n_hyper_stop, marglik_frequency, subset_of_weights,
                       hessian_structure, prior_precision, grad_norm,
-                      early_stop, model_type, N)
+                      early_stop, model_type, N,
+                      PATIENCE, jax.tree_util.tree_structure(params))
     cache = _model_program_cache(model)
     if key is not None and key in cache:
         return cache[key]

@@ -1,4 +1,11 @@
 import os
+import sys
+
+# The package is used from a clean checkout with no pip install: make
+# laplace_gnn_tpu importable regardless of pytest's invocation directory.
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 # Tests run on a virtual 8-device CPU mesh regardless of attached TPUs, so
 # sharding paths are exercised everywhere (driver validates TPU separately).
