@@ -124,13 +124,27 @@ def bench_jax(X, adj, y, n_train=140, K=50):
 
     # now safe to fetch for sanity reporting
     nm_val = float(jax.jit(neg_marglik)(params, idx, yy))
+    # reference-semantics value (non-detached TYPE2 sqrt, the fork's
+    # curvlinops/kfac.py:631-642 behavior) for the torch cross-check below:
+    # the torch-CPU baseline reimplements exactly that math, so with pinned
+    # weights the two must agree
+    neg_marglik_fork = make_neg_marglik_fn(
+        model, "classification", "kron", "all", N=n_train,
+        fisher_type="type-2-fork")
+    nm_fork = float(jax.jit(neg_marglik_fork)(params, idx, yy))
     n_edges = float(np.asarray(adj).sum()) + N_NODES
     edges_per_s = 2 * n_edges / t_fwd
     log(f"jax forward: {t_fwd * 1e3:.3f} ms "
         f"({edges_per_s / 1e6:.1f}M edges/s effective)")
-    log(f"jax hyperstep: {t_hyper * 1e3:.3f} ms (neg_marglik={nm_val:.2f})")
+    log(f"jax hyperstep: {t_hyper * 1e3:.3f} ms (neg_marglik={nm_val:.2f}, "
+        f"reference-semantics neg_marglik={nm_fork:.2f})")
     assert np.isfinite(nm_val)
-    return t_hyper, t_fwd, edges_per_s
+    params_np = {
+        "convs": [{"lin": {"weight": np.asarray(c["lin"]["weight"]),
+                           "bias": np.asarray(c["lin"]["bias"])}}
+                  for c in params["convs"]],
+    }
+    return t_hyper, t_fwd, edges_per_s, nm_fork, params_np
 
 
 def _median_loop_time(loopfn, arg, K, reps=5):
@@ -304,19 +318,34 @@ def bench_full_train(X, adj, y):
     return t
 
 
-def bench_torch_cpu(X, adj, y, n_train=140, repeats=1):
+def bench_torch_cpu(X, adj, y, params_np=None, n_train=140, repeats=1):
     """Torch-CPU hyperstep with the reference's strategy: KFAC factors via
-    per-column backward passes with retained graphs, differentiable marglik,
-    backward into the adjacency."""
+    per-column backward passes with retained graphs (non-detached TYPE2
+    sqrt, exactly the fork's curvlinops/kfac.py:631-661 semantics),
+    differentiable marglik, backward into the adjacency.
+
+    ``params_np`` pins the weights to the JAX model's, so the printed
+    neg_marglik is directly comparable to the JAX reference-semantics value
+    (the cross-check main() asserts); without it, fresh random weights."""
     import torch
 
     torch.set_num_threads(max(torch.get_num_threads(), 8))
     X_t = torch.tensor(X)
     y_t = torch.tensor(y[:n_train])
-    W0 = (torch.randn(HIDDEN, N_FEAT) * 0.05).requires_grad_()
-    b0 = torch.zeros(HIDDEN, requires_grad=True)
-    W1 = (torch.randn(N_CLASS, HIDDEN) * 0.05).requires_grad_()
-    b1 = torch.zeros(N_CLASS, requires_grad=True)
+    if params_np is not None:
+        W0 = torch.tensor(params_np["convs"][0]["lin"]["weight"],
+                          requires_grad=True)
+        b0 = torch.tensor(params_np["convs"][0]["lin"]["bias"],
+                          requires_grad=True)
+        W1 = torch.tensor(params_np["convs"][1]["lin"]["weight"],
+                          requires_grad=True)
+        b1 = torch.tensor(params_np["convs"][1]["lin"]["bias"],
+                          requires_grad=True)
+    else:
+        W0 = (torch.randn(HIDDEN, N_FEAT) * 0.05).requires_grad_()
+        b0 = torch.zeros(HIDDEN, requires_grad=True)
+        W1 = (torch.randn(N_CLASS, HIDDEN) * 0.05).requires_grad_()
+        b1 = torch.zeros(N_CLASS, requires_grad=True)
     adj_p = torch.tensor(adj, requires_grad=True)
 
     def hyperstep():
@@ -366,13 +395,13 @@ def bench_torch_cpu(X, adj, y, n_train=140, repeats=1):
     t = (time.perf_counter() - t0) / repeats
     log(f"torch-cpu hyperstep: {t * 1e3:.2f} ms "
         f"(neg_marglik={float(nm):.2f}, |g_adj|={float(g.abs().sum()):.3f})")
-    return t
+    return t, float(nm)
 
 
 def main():
     rng = np.random.default_rng(0)
     X, adj, y = make_graph(rng)
-    t_hyper, t_fwd, edges_per_s = bench_jax(X, adj, y)
+    t_hyper, t_fwd, edges_per_s, nm_fork, params_np = bench_jax(X, adj, y)
     try:
         extras = bench_absolute(X, adj, y)
     except Exception as e:
@@ -385,8 +414,16 @@ def main():
     except Exception as e:
         log(f"full-training bench failed: {e}")
     try:
-        t_torch = bench_torch_cpu(X, adj, y)
+        t_torch, nm_torch = bench_torch_cpu(X, adj, y, params_np)
         vs_baseline = t_torch / t_hyper
+        # the torch baseline runs the SAME weights and the same math
+        # (non-detached TYPE2 sqrt); a disagreement means one side is wrong,
+        # so the bench is also the hyperstep cross-check
+        rel = abs(nm_torch - nm_fork) / max(abs(nm_fork), 1.0)
+        extras["hyperstep_crosscheck_reldiff"] = round(rel, 8)
+        log(f"hyperstep cross-check: jax(ref-semantics) {nm_fork:.3f} vs "
+            f"torch {nm_torch:.3f} (rel diff {rel:.2e})")
+        assert rel < 1e-3, (nm_fork, nm_torch)
     except Exception as e:  # torch missing or OOM: report 1.0
         log(f"torch baseline failed: {e}")
         vs_baseline = 1.0

@@ -38,7 +38,7 @@ from ..utils.pytree import (DEFAULT_EXCLUDE, merge_split, named_leaves,
                             posterior_mask, split_by_mask)
 from .losses import get_loss_fn, loss_hessian_sqrt
 
-FISHER_TYPES = ("type-2", "mc", "empirical", "forward-only")
+FISHER_TYPES = ("type-2", "type-2-fork", "mc", "empirical", "forward-only")
 KFAC_APPROX = ("expand", "reduce")
 
 
@@ -106,7 +106,10 @@ def _mixed_diag_blocks(model, w, frozen, X, y, out, uncovered, fisher_type,
 
     # middle square-root columns R (M, C, K), matching accumulate_B's
     # fisher-type conventions
-    if fisher_type == "type-2":
+    if fisher_type in ("type-2", "type-2-fork"):
+        # fork's non-detached-sqrt artifact is not reproduced for the
+        # mixed-structure diag blocks (the reference crashes on mixed
+        # models, so there is nothing to pin against)
         R = loss_hessian_sqrt(likelihood, out)
     elif fisher_type == "mc":
         key0 = jax.random.PRNGKey(seed)
@@ -230,9 +233,37 @@ def compute_kfac_factors(model, params, X, y, likelihood: str,
 
     # -- gradient covariances B per fisher type -----------------------------
     if fisher_type == "type-2":
+        # textbook TYPE2: the loss-Hessian sqrt S is a fixed cotangent, so
+        # B = sum over rows of J^T H_loss J restricted to each tap site
         S = loss_hessian_sqrt(likelihood, out)            # (M, C, C)
         cots = jnp.moveaxis(S, -1, 0)                      # (C, M, C)
         B = accumulate_B(cots)
+    elif fisher_type == "type-2-fork":
+        # EXACT reproduction of the reference fork's TYPE2: it backwards
+        # (output * S[:, :, c]).sum() with a NON-detached S
+        # (curvlinops/kfac.py:631-642 — upstream's detached version is
+        # commented out right above), so dS/d(output) terms enter the VALUE
+        # of each gradient column. For per-sample-independent models the two
+        # coincide in B (g^T g sums per-row outer products), but a GNN's
+        # adjacency mixes rows and the extra terms change B (~1e-2 relative
+        # on toy GCNs). Kept as an opt-in so strict-parity tests can pin the
+        # executed reference bit-for-bit while 'type-2' stays the
+        # mathematically standard default (deviation documented in
+        # PARITY.md).
+        C = out.shape[-1]
+
+        def scalar_fn(eps, onehot):
+            out2, _ = f_of_eps(eps)
+            S2 = loss_hessian_sqrt(likelihood, out2)
+            return jnp.sum(out2 * jnp.einsum("mck,k->mc", S2, onehot))
+
+        def one_col(onehot):
+            gs = jax.grad(scalar_fn)(eps0, onehot)
+            return {name: _cov(g, kfac_approx, reduce_op="sum")
+                    for name, g in gs.items()}
+
+        covs = jax.vmap(one_col)(jnp.eye(C, dtype=out.dtype))
+        B = {k: jnp.sum(v, axis=0) for k, v in covs.items()}
     elif fisher_type == "mc":
         key0 = jax.random.PRNGKey(seed)
 

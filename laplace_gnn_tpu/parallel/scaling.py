@@ -58,16 +58,11 @@ def projected_scaling(graph, d_features: int, t_compute_1chip: float,
     n_edges = len(np.asarray(graph.src))
     out = []
     for n in n_chips:
-        if graph.n_nodes % n != 0:
-            # pad_to_blocks handles this for real runs; for the projection
-            # round the block size up
-            pass
-        W = halo_widths(graph, n) if graph.n_nodes % n == 0 else None
-        if W is None:
-            halo_rows = graph.n_nodes // n  # pessimistic placeholder
-        else:
-            H = int(W.max())
-            halo_rows = (n - 1) * max(1, H)
+        # non-divisible node counts take the same padded blocks a real run
+        # uses (pad_to_blocks): halo widths computed on ceil(N/n) blocks
+        W = halo_widths(graph, n, allow_pad=True)
+        H = int(W.max())
+        halo_rows = (n - 1) * max(1, H)
         t_comp = t_fixed + (t_compute_1chip - t_fixed) / n
         t_comm = halo_rows * d_features * bytes_per_el / ici_bw
         t_step = max(t_comp, t_comm) if overlap else t_comp + t_comm
@@ -91,11 +86,17 @@ def dcn_projection(n_nodes: int, d_features: int, n_dcn: int,
     """Extra cost of the DCN edge-striping layer: one psum of the
     (n_nodes/n_graph, d) partial block per aggregation crosses DCN
     (parallel/distributed.py). A ring/tree all-reduce moves
-    2*(n_dcn-1)/n_dcn of the payload per host."""
+    2*(n_dcn-1)/n_dcn of the payload per host.
+
+    Priced SERIALIZED (t_comp + t_psum): the psum is on the OUTPUT of the
+    aggregation being computed and the next layer depends on it, so
+    overlapping would require cross-layer (feature-chunk) pipelining that
+    ``make_dcn_halo_aggregate`` does not implement. No overlap is assumed
+    that no program performs."""
     payload = (n_nodes // max(n_graph, 1)) * d_features * bytes_per_el
     t_psum = 2.0 * (n_dcn - 1) / max(n_dcn, 1) * payload / dcn_bw
     t_comp = t_step_1slice / n_dcn
-    t_step = max(t_comp, t_psum)  # psum overlaps the next slice's compute
+    t_step = t_comp + t_psum
     return {"n_dcn": int(n_dcn), "t_psum_us": t_psum * 1e6,
             "t_step_us": t_step * 1e6,
             "efficiency": float(t_step_1slice / (n_dcn * t_step))}

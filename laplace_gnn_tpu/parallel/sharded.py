@@ -268,18 +268,26 @@ def _halo_partition(graph, n_parts: int):
     return needed, pack_edges, block
 
 
-def halo_widths(graph, n_parts: int):
+def halo_widths(graph, n_parts: int, allow_pad: bool = False):
     """(n_parts, n_parts) matrix W[p, q] = rows p needs from q — one
     O(E log E) pass (unique (dst-owner, src) pairs), no plan construction.
     Used by HaloAggGraph's auto schedule to price ring vs all_to_all
-    without building both plans."""
+    without building both plans.
+
+    ``allow_pad=True`` mirrors what a real run does for non-divisible node
+    counts (pad_to_blocks): blocks of size ceil(n/n_parts); padding nodes
+    are isolated, so the widths equal those of the padded graph."""
     import numpy as np
 
     n = graph.n_nodes
     if n % n_parts != 0:
-        raise ValueError(f"n_nodes={n} must divide by n_parts={n_parts} "
-                         "(pad the graph first)")
-    block = n // n_parts
+        if not allow_pad:
+            raise ValueError(f"n_nodes={n} must divide by n_parts={n_parts} "
+                             "(pad the graph first)")
+        block = -(-n // n_parts)
+        n = block * n_parts
+    else:
+        block = n // n_parts
     src = np.asarray(graph.src).astype(np.int64)
     dst = np.asarray(graph.dst).astype(np.int64)
     o_src = src // block

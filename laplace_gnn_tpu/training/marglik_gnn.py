@@ -247,7 +247,8 @@ def _static_key(*parts):
 def _build_training_programs(model, params, *, lr, weight_decay, lr_adj,
                              weight_decay_adj, momentum_adj, grad_norm,
                              hessian_structure, subset_of_weights,
-                             prior_precision, N, model_type):
+                             prior_precision, N, model_type,
+                             fisher_type="type-2"):
     """Optimizers + the four jitted programs of the eager marglik loop."""
     # PATIENCE and the params tree structure are baked into the compiled
     # closures (masks are built from this params pytree), so both belong in
@@ -256,6 +257,7 @@ def _build_training_programs(model, params, *, lr, weight_decay, lr_adj,
     key = _static_key("eager", lr, weight_decay, lr_adj, weight_decay_adj,
                       momentum_adj, grad_norm, hessian_structure,
                       subset_of_weights, prior_precision, N, model_type,
+                      fisher_type,
                       PATIENCE, jax.tree_util.tree_structure(params))
     cache = _model_program_cache(model)
     if key is not None and key in cache:
@@ -274,7 +276,7 @@ def _build_training_programs(model, params, *, lr, weight_decay, lr_adj,
         adj_mask)
     neg_marglik_fn = make_neg_marglik_fn(
         model, "classification", hessian_structure, subset_of_weights, N,
-        prior_precision)
+        prior_precision, fisher_type=fisher_type)
 
     @jax.jit
     def train_step(params, opt_state, idx, yy, rng):
@@ -355,6 +357,7 @@ def marglik_optimization(model, params,
                          grad_norm: bool = False,
                          early_stop: bool = False,
                          model_type: str = "stegcn",
+                         fisher_type: str = "type-2",
                          learned_graphs_dir: Optional[str] = None,
                          verbose: bool = True,
                          log_every: int = 20):
@@ -386,7 +389,7 @@ def marglik_optimization(model, params,
         weight_decay_adj=weight_decay_adj, momentum_adj=momentum_adj,
         grad_norm=grad_norm, hessian_structure=hessian_structure,
         subset_of_weights=subset_of_weights, prior_precision=prior_precision,
-        N=N, model_type=model_type)
+        N=N, model_type=model_type, fisher_type=fisher_type)
     train_step = progs["train_step"]
     hyperstep = progs["hyperstep"]
     neg_marglik_eval = progs["neg_marglik_eval"]
@@ -567,7 +570,8 @@ def marglik_optimization_scan(model, params,
                               prior_precision: float = 1.0,
                               grad_norm: bool = False,
                               early_stop: bool = False,
-                              model_type: str = "stegcn"):
+                              model_type: str = "stegcn",
+                              fisher_type: str = "type-2"):
     """TPU-throughput variant of :func:`marglik_optimization`: the ENTIRE
     training run — every epoch, every hyperstep, best-model tracking for
     both stop criteria — executes inside one jitted ``lax.fori_loop``.
@@ -599,7 +603,8 @@ def marglik_optimization_scan(model, params,
         subset_of_weights=subset_of_weights,
         hessian_structure=hessian_structure,
         prior_precision=prior_precision, grad_norm=grad_norm,
-        early_stop=early_stop, model_type=model_type, N=N)
+        early_stop=early_stop, model_type=model_type, N=N,
+        fisher_type=fisher_type)
 
     params_final, traces, best = run(params, train_indices, train_labels,
                                      val_indices, val_labels)
@@ -620,7 +625,8 @@ def _build_scan_run(model, params, *, lr, lr_adj, weight_decay,
                     weight_decay_adj, momentum_adj, n_epochs, n_hypersteps,
                     n_epochs_burnin, n_hyper_stop, marglik_frequency,
                     subset_of_weights, hessian_structure, prior_precision,
-                    grad_norm, early_stop, model_type, N):
+                    grad_norm, early_stop, model_type, N,
+                    fisher_type="type-2"):
     """The whole-training jitted program of
     :func:`marglik_optimization_scan`, cached per model x static config with
     the split data as traced arguments. Re-tracing this program costs ~2 s
@@ -631,7 +637,7 @@ def _build_scan_run(model, params, *, lr, lr_adj, weight_decay,
                       momentum_adj, n_epochs, n_hypersteps, n_epochs_burnin,
                       n_hyper_stop, marglik_frequency, subset_of_weights,
                       hessian_structure, prior_precision, grad_norm,
-                      early_stop, model_type, N,
+                      early_stop, model_type, N, fisher_type,
                       PATIENCE, jax.tree_util.tree_structure(params))
     cache = _model_program_cache(model)
     if key is not None and key in cache:
@@ -652,7 +658,7 @@ def _build_scan_run(model, params, *, lr, lr_adj, weight_decay,
         adj_mask)
     neg_marglik_fn = make_neg_marglik_fn(
         model, "classification", hessian_structure, subset_of_weights, N,
-        prior_precision)
+        prior_precision, fisher_type=fisher_type)
 
     def train_step(params, wstate, tr_idx, tr_y, rng):
         def obj(p):

@@ -23,7 +23,7 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def main():
+def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--dataset", default="sbm-cora")
     p.add_argument("--model_type", default="stegcn",
@@ -50,7 +50,11 @@ def main():
     p.add_argument("--hessian_structure", default="kron")
     p.add_argument("--split", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
-    args = p.parse_args()
+    p.add_argument("--root", default=None,
+                   help="dataset root (where fetch_datasets.py landed the "
+                        "raw files); defaults to $LAPLACE_GNN_DATA or "
+                        "~/data")
+    args = p.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
@@ -75,7 +79,7 @@ def main():
                                   p_out=0.00015,
                                   feature_signal=0.1, seed=args.seed)
     else:
-        data = datasets.load_data(args.dataset)
+        data = datasets.load_data(args.dataset, root=args.root)
     tr, va, te = data.split(args.split % (data.train_indices.shape[1]))
     adj = edge_index_to_adj(data.edge_index, data.num_nodes).astype(
         np.float32)

@@ -89,3 +89,39 @@ def test_reward_modeling(capsys):
 def test_gp_calibration(capsys):
     run_example("09_gp_calibration.py")
     assert "gp calibration example OK" in capsys.readouterr().out
+
+
+def test_multihost_launch_example(tmp_path):
+    """examples/10_multihost_launch.py exercises the documented env-var
+    launch path (LAPLACE_GNN_COORDINATOR/NUM_PROCESSES/PROCESS_ID,
+    parallel/distributed.py::initialize) end-to-end: single-process and a
+    real 2-process Gloo run must print identical replicated scalars."""
+    import os
+    import re
+    import subprocess
+
+    ex = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "examples", "10_multihost_launch.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS",) and not k.startswith("LAPLACE_GNN_")}
+    env["JAX_PLATFORMS"] = "cpu"
+
+    single = subprocess.run([sys.executable, ex], cwd=str(tmp_path), env=env,
+                            capture_output=True, text=True, timeout=300)
+    assert single.returncode == 0, single.stderr[-2000:]
+    assert "[single process]" in single.stdout
+
+    spawned = subprocess.run([sys.executable, ex, "--spawn", "2"],
+                             cwd=str(tmp_path), env=env, capture_output=True,
+                             text=True, timeout=420)
+    assert spawned.returncode == 0, spawned.stderr[-2000:]
+    assert "[process 0/2]" in spawned.stdout
+    assert "[process 1/2]" in spawned.stdout
+
+    def scalars(out):
+        return sorted(set(re.findall(r"neg_marglik=([\d.]+) \|grad\|=([\d.]+)",
+                                     out)))
+
+    s1, s2 = scalars(single.stdout), scalars(spawned.stdout)
+    assert len(s1) == 1 and len(s2) == 1, (s1, s2)
+    assert s1 == s2, (s1, s2)

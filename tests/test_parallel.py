@@ -585,6 +585,16 @@ def test_projected_scaling_model():
     d = dcn_projection(n_nodes=n, d_features=32, n_dcn=2,
                        t_step_1slice=1e-4, n_graph=4)
     assert 0 < d["efficiency"] <= 1.0 + 1e-9
+    # DCN pricing is serialized (t_comp + t_psum): no program implements the
+    # cross-layer pipelining an overlap assumption would require
+    assert d["t_step_us"] >= d["t_psum_us"] + (1e-4 / 2) * 1e6 - 1e-9
+
+    # non-divisible N uses real padded-partition widths, not a placeholder
+    rows_pad = projected_scaling(g, d_features=32, t_compute_1chip=1e-4,
+                                 n_chips=(3,))
+    from laplace_gnn_tpu.parallel.sharded import halo_widths
+    W = halo_widths(g, 3, allow_pad=True)
+    assert rows_pad[0]["halo_rows"] == 2 * max(1, int(W.max()))
 
 
 def test_ring_dense_aggregate_matches_dense():
