@@ -156,6 +156,30 @@ def test_dense_flagship_on_hybrid_mesh():
     assert float(jnp.abs(gadj).max()) > 0
 
 
+@pytest.mark.slow
+def test_row_sharded_ste_hyperstep_at_scale():
+    """The dense row-sharded STE-GCN KFAC-marglik hyperstep at N=8192 — a
+    size where sharding matters (the int8-crossover size from BENCH_NOTES),
+    not a toy. Runs scripts/shard_scale_bench.py in a subprocess (f32, no
+    x64 override) and asserts (a) per-device memory drops ~8x on the
+    8-device mesh, proving the N^2 buffers are genuinely sharded, and
+    (b) sharded numerics (neg_marglik + d/d_adj) match single-device
+    (the script's --check). SURVEY §7 hard parts: "dense N x N sharded adj
+    for STE models"."""
+    import re
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = os.path.join(repo_root, "scripts", "shard_scale_bench.py")
+    out = subprocess.run(
+        [sys.executable, script, "--n", "8192", "--check", "--reps", "1"],
+        capture_output=True, text=True, timeout=1200)
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    m = re.search(r"per-device memory ratio: ([0-9.]+)x", out.stdout)
+    assert m is not None, out.stdout
+    assert float(m.group(1)) > 6.0, out.stdout
+    assert "check: OK" in out.stdout
+
+
 # ---------------------------------------------------------------------------
 # True multi-process run (2 JAX processes, Gloo CPU collectives)
 # ---------------------------------------------------------------------------
