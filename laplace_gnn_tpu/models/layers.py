@@ -76,6 +76,54 @@ class GraphSAGEConv:
                  "has_bias": self.lin.use_bias}]
 
 
+def _masked_attention_dense(alpha_src, alpha_dst, adj, h, negative_slope):
+    """out[i] = sum_j softmax_j(leaky_relu(a_src[j] + a_dst[i]) | adj[i,j]>0)
+    * h[j], materializing the full (N, N, H) score tensor (reference
+    gnn/models/layers.py:110-124 semantics; i=target row, j=source col)."""
+    scores = alpha_src[None, :, :] + alpha_dst[:, None, :]         # (N, N, H)
+    scores = jax.nn.leaky_relu(scores, negative_slope)
+    mask = (adj > 0)[..., None]
+    # masked softmax over neighbors j (dim 1), numerically stabilized
+    scores = jnp.where(mask, scores, -jnp.inf)
+    smax = jnp.max(scores, axis=1, keepdims=True)
+    smax = jnp.where(jnp.isfinite(smax), smax, 0.0)
+    ex = jnp.where(mask, jnp.exp(scores - smax), 0.0)
+    denom = jnp.sum(ex, axis=1, keepdims=True)
+    alpha = ex / jnp.where(denom == 0, 1.0, denom)                 # (N, N, H)
+    return jnp.einsum("ijh,jhf->ihf", alpha, h)                    # (N, H, F)
+
+
+def _masked_attention_chunked(alpha_src, alpha_dst, adj, h, negative_slope,
+                              block: int):
+    """Flash-style row-blocked masked attention: identical math to
+    :func:`_masked_attention_dense` but never materializes the (N, N, H)
+    score tensor — each target-row block of ``block`` rows computes its own
+    (block, N, H) scores, softmax (exact, since the softmax axis j is fully
+    resident per block), and output contraction. Peak attention memory drops
+    from N^2*H to block*N*H floats (32x at N=8192, block=512, H=8: 2.1 GB ->
+    67 MB), which is what makes dense-adjacency GAT structure learning
+    feasible at N >= 8k. ``jax.checkpoint`` bounds the reverse pass the same
+    way (scores are recomputed per block instead of stored), and forward-mode
+    jvp (the GGN mat-vec path) passes straight through."""
+    n, H = alpha_src.shape
+    n_pad = -(-n // block) * block
+    pad = n_pad - n
+    adj_p = jnp.pad(adj, ((0, pad), (0, 0)))
+    a_dst_p = jnp.pad(alpha_dst, ((0, pad), (0, 0)))
+
+    @jax.checkpoint
+    def one_block(i0):
+        adj_blk = jax.lax.dynamic_slice(adj_p, (i0, 0), (block, n))
+        a_dst_blk = jax.lax.dynamic_slice(a_dst_p, (i0, 0), (block, H))
+        # padded rows have an all-False mask -> denom 0 -> zero output rows
+        return _masked_attention_dense(alpha_src, a_dst_blk, adj_blk, h,
+                                       negative_slope)
+
+    i0s = jnp.arange(0, n_pad, block)
+    out = jax.lax.map(one_block, i0s)          # (n_pad/block, block, H, F)
+    return out.reshape(n_pad, H, h.shape[-1])[:n]
+
+
 class GATConv:
     """Dense multi-head attention with masked softmax over the adjacency
     (reference gnn/models/layers.py:49-124).
@@ -87,11 +135,25 @@ class GATConv:
     map on x_dst (no neighbor aggregation happens). This appears to be a bug
     in the reference; here the standard GAT aggregation
     ``out[i] = sum_j alpha[i,j] x[j]`` is implemented instead.
+
+    Scale: the reference materializes the (N, N, heads) score tensor, which
+    is 2.1 GB at N=8192/H=8 and caps dense GAT well below the sizes the STE
+    models reach. ``row_block`` (or the automatic switch above
+    ``AUTO_CHUNK_N`` nodes) uses the flash-style row-blocked softmax
+    (:func:`_masked_attention_chunked`) with identical numerics and
+    O(block * N * H) peak attention memory.
     """
+
+    #: auto-chunk threshold: above this many nodes the (N, N, H) score
+    #: tensor (2.1 GB at N=8192, H=8) no longer fits comfortably in HBM
+    #: alongside the model, so apply() switches to the flash-style
+    #: row-blocked path unless ``row_block`` pins a choice.
+    AUTO_CHUNK_N = 4096
 
     def __init__(self, in_channels: int, out_channels: int, heads: int,
                  negative_slope: float = 0.2, concat: bool = True,
-                 bias: bool = True, name: str = "conv"):
+                 bias: bool = True, name: str = "conv",
+                 row_block: Optional[int] = None):
         self.in_channels = in_channels
         self.out_channels = out_channels
         self.heads = heads
@@ -100,6 +162,7 @@ class GATConv:
         self.use_bias = bias
         self.lin = Linear(in_channels, heads * out_channels, bias=False, name=name)
         self.name = name
+        self.row_block = row_block
 
     def init(self, key, dtype=None) -> dict:
         dtype = resolve_dtype(dtype)
@@ -125,20 +188,15 @@ class GATConv:
         alpha_src = jnp.sum(h * params["att_src"], axis=-1)       # (N, H)
         alpha_dst = jnp.sum(h * params["att_dst"], axis=-1)       # (N, H)
 
-        # score[i, j, h] = adj[i, j] * (alpha_src[j, h] + alpha_dst[i, h])
-        # (reference :110-113, with i=target row, j=source col)
-        scores = alpha_src[None, :, :] + alpha_dst[:, None, :]     # (N, N, H)
-        scores = jax.nn.leaky_relu(scores, self.negative_slope)
-        mask = (adj > 0)[..., None]
-        # masked softmax over neighbors j (dim 1), numerically stabilized
-        scores = jnp.where(mask, scores, -jnp.inf)
-        smax = jnp.max(scores, axis=1, keepdims=True)
-        smax = jnp.where(jnp.isfinite(smax), smax, 0.0)
-        ex = jnp.where(mask, jnp.exp(scores - smax), 0.0)
-        denom = jnp.sum(ex, axis=1, keepdims=True)
-        alpha = ex / jnp.where(denom == 0, 1.0, denom)             # (N, N, H)
-
-        out = jnp.einsum("ijh,jhf->ihf", alpha, h)                 # (N, H, F)
+        block = self.row_block
+        if block is None and n > self.AUTO_CHUNK_N:
+            block = 512
+        if block and block < n:
+            out = _masked_attention_chunked(
+                alpha_src, alpha_dst, adj, h, self.negative_slope, block)
+        else:
+            out = _masked_attention_dense(
+                alpha_src, alpha_dst, adj, h, self.negative_slope)
         if self.concat:
             out = out.reshape(n, self.heads * self.out_channels)
         else:

@@ -1,0 +1,147 @@
+"""Dense GAT at N=8192: full (N,N,H) attention vs flash-style row-blocked.
+
+The reference's dense GAT (gnn/models/layers.py:101-124) materializes the
+(N, N, heads) score tensor — 2.1 GB at N=8192/H=8 — which caps how large a
+dense-adjacency GAT can run. GATConv.row_block (models/layers.py::
+_masked_attention_chunked) computes the same masked softmax per target-row
+block without ever materializing it. This script measures, on the attached
+TPU chip:
+
+  - forward wall-clock, dense vs chunked (several block sizes)
+  - train-step (fwd+bwd) wall-clock
+  - XLA memory analysis (temp bytes) for both programs
+
+Timing uses the chained fori_loop method of bench.py (tunnel-safe).
+
+Run: python scripts/bench_gat_scale.py [--n 8192] [--heads 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _median_loop_time(loopfn, arg, K, reps=5):
+    jax.block_until_ready(loopfn(arg, jnp.asarray(1)))
+    diffs = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(loopfn(arg, jnp.asarray(K)))
+        t1 = time.perf_counter()
+        jax.block_until_ready(loopfn(arg, jnp.asarray(2 * K)))
+        t2 = time.perf_counter()
+        diffs.append((t2 - t1) - (t1 - t0))
+    return max(float(np.median(diffs)) / K, 1e-9)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=8192)
+    ap.add_argument("--d", type=int, default=64)
+    ap.add_argument("--hidden", type=int, default=64)
+    ap.add_argument("--heads", type=int, default=8)
+    ap.add_argument("--density", type=float, default=14e-4)
+    ap.add_argument("--blocks", type=int, nargs="+",
+                    default=[256, 512, 1024])
+    ap.add_argument("--skip-dense", action="store_true",
+                    help="skip the full (N,N,H) baseline (OOM guard)")
+    args = ap.parse_args()
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+    from laplace_gnn_tpu.curvature.losses import cross_entropy_sum
+    from laplace_gnn_tpu.models import GAT
+
+    n, d, hid, heads = args.n, args.d, args.hidden, args.heads
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.standard_normal((n, d), dtype=np.float32))
+    a = (rng.random((n, n)) < args.density).astype(np.float32)
+    adj = jnp.asarray(np.minimum(a + a.T, 1.0) * (1 - np.eye(n, dtype=np.float32)))
+    y = jnp.asarray(rng.integers(0, 8, n))
+    idx = jnp.arange(1024)
+
+    def build(row_block):
+        # row_block >= n disables chunking (apply() requires block < n),
+        # so passing n forces the dense (N,N,H) baseline
+        model = GAT(d, hid, 8, 2, X, adj, heads=heads, concat=True,
+                    dropout_p=0.0, row_block=row_block)
+        params = model.init(jax.random.PRNGKey(0))
+        return model, params
+
+    def programs(model):
+        @jax.jit
+        def fwd_loop(params, K):
+            def body(i, carry):
+                acc, w = carry
+                p = jax.tree_util.tree_map(lambda x: x, params)
+                p["convs"][0]["lin"]["weight"] = w
+                f = model.apply(p, idx)
+                acc = acc + jnp.sum(f)
+                return acc, w + 1e-30 * acc
+            acc, _ = jax.lax.fori_loop(
+                0, K, body, (0.0, params["convs"][0]["lin"]["weight"]))
+            return acc
+
+        @jax.jit
+        def train_loop(params, K):
+            def obj(p):
+                f = model.apply(p, idx)
+                return cross_entropy_sum(f, y[:idx.shape[0]]) / idx.shape[0]
+
+            def body(i, carry):
+                acc, w = carry
+                p = jax.tree_util.tree_map(lambda x: x, params)
+                p["convs"][0]["lin"]["weight"] = w
+                loss, g = jax.value_and_grad(obj)(p)
+                gw = g["convs"][0]["lin"]["weight"]
+                return acc + loss, w - 1e-30 * gw
+            acc, _ = jax.lax.fori_loop(
+                0, K, body, (0.0, params["convs"][0]["lin"]["weight"]))
+            return acc
+
+        return fwd_loop, train_loop
+
+    def temp_mb(jitted, params):
+        m = jitted.lower(params, jnp.asarray(2)).compile().memory_analysis()
+        return m.temp_size_in_bytes / 2**20
+
+    results = {}
+    variants = ([] if args.skip_dense else [("dense", n)]) + \
+        [(f"block{b}", b) for b in args.blocks]
+    out_ref = None
+    for name, blk in variants:
+        model, params = build(blk)
+        # correctness cross-check (first 8 output rows against dense)
+        out = model.apply(params, jnp.arange(8))
+        if out_ref is None:
+            out_ref = out
+        else:
+            err = float(jnp.abs(out - out_ref).max())
+            assert err < 1e-4, (name, err)
+        fwd_loop, train_loop = programs(model)
+        t_f = _median_loop_time(fwd_loop, params, 20)
+        t_t = _median_loop_time(train_loop, params, 10)
+        mb = temp_mb(fwd_loop, params)
+        results[name] = (t_f, t_t, mb)
+        print(f"{name:9s} fwd {t_f * 1e3:8.2f} ms  train {t_t * 1e3:8.2f} ms"
+              f"  fwd temp {mb:8.0f} MB", flush=True)
+
+    if "dense" in results and len(results) > 1:
+        best = min((v for k, v in results.items() if k != "dense"),
+                   key=lambda v: v[0])
+        print(f"best chunked vs dense: fwd {results['dense'][0] / best[0]:.2f}x"
+              f", train {results['dense'][1] / best[1]:.2f}x, "
+              f"temp {results['dense'][2] / best[2]:.1f}x less")
+
+
+if __name__ == "__main__":
+    main()
