@@ -21,6 +21,7 @@ which also cancels the single-dispatch overhead.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -427,6 +428,14 @@ def main():
     except Exception as e:  # torch missing or OOM: report 1.0
         log(f"torch baseline failed: {e}")
         vs_baseline = 1.0
+    # GAT-at-scale numbers recorded by scripts/bench_gat_scale.py on this
+    # chip (several minutes of compiles — run separately, merged here so
+    # the driver artifact carries them; see BENCH_NOTES "Round 4")
+    gat_fn = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "BENCH_GAT.json")
+    if os.path.exists(gat_fn):
+        with open(gat_fn) as f:
+            extras["gat_scale_recorded"] = json.load(f)
     print(json.dumps({
         "metric": "marglik_hyperstep_ms",
         "value": round(t_hyper * 1e3, 3),

@@ -87,9 +87,13 @@ def _mixed_diag_blocks(model, w, frozen, X, y, out, uncovered, fisher_type,
         diag[p] = sum_{m,k} ( sum_c R[m,c,k] * (J e_p)[m,c] )^2
     where R is the per-sample middle square root of the chosen Fisher type
     (type-2: loss-Hessian sqrt; mc: sampled grads / sqrt(mc); empirical:
-    the batch gradient; forward-only: identity). One vmapped jvp per
-    uncovered parameter — cost scales with the (small) number of attention
-    parameters, not with M*C like reverse-mode jacobians would.
+    the batch gradient; forward-only: identity). The forward is linearized
+    ONCE (``jax.linearize``) and only the tangent pass runs per direction,
+    in ``direction_chunk``-sized blocks under a sequential ``lax.map`` —
+    peak memory is chunk x one tangent pass instead of P_u x a full jvp
+    (at N=8192 GAT the difference is ~24 GB vs ~0.5 GB of temps). Cost
+    scales with the (small) number of attention parameters, not with M*C
+    like reverse-mode jacobians would.
     """
     names = [n for n, _ in uncovered]
     shapes = [leaf.shape for _, leaf in uncovered]
@@ -130,11 +134,24 @@ def _mixed_diag_blocks(model, w, frozen, X, y, out, uncovered, fisher_type,
         return model.apply(merge_split(w_, frozen), X)
 
     def one(e):
+        # jax.jvp (recompute the primal per chunk) rather than
+        # jax.linearize: storing the linearization residuals of a chunked
+        # GAT forward costs O(N^2 H) per layer (measured 37 GB of XLA temps
+        # at N=8192), while the recomputing jvp under the chunked map below
+        # peaks at chunk x one block's tangent state
         _, td = jax.jvp(f_only, (w,), (unflatten_u(e),))   # (M, C)
         q = jnp.einsum("mck,mc->mk", R, td)
         return jnp.sum(q * q)
 
-    diag_u = jax.vmap(one)(jnp.eye(P_u, dtype=out.dtype))
+    chunk = 16
+    eye = jnp.eye(P_u, dtype=out.dtype)
+    if P_u <= chunk:
+        diag_u = jax.vmap(one)(eye)
+    else:
+        pad = (-P_u) % chunk
+        eye_p = jnp.pad(eye, ((0, pad), (0, 0)))
+        blocks = eye_p.reshape(-1, chunk, P_u)
+        diag_u = jax.lax.map(jax.vmap(one), blocks).reshape(-1)[:P_u]
     return {n: diag_u[o: o + sz]
             for n, o, sz in zip(names, offs[:-1], sizes)}
 
@@ -209,7 +226,12 @@ def compute_kfac_factors(model, params, X, y, likelihood: str,
         pullback folds all C columns into the aggregation's feature axis
         (C x width gather intermediates — 9.7 GB for C=40 on ogbn-arxiv);
         chunking runs a sequential ``lax.map`` over column blocks instead.
-        Zero-padded columns contribute zero to B, so the result is exact."""
+        Zero-padded columns contribute zero to B, so the result is exact.
+        The map body is checkpointed: when the FACTORS themselves are
+        differentiated (the marglik hyperstep's d/d_adj), the outer reverse
+        pass would otherwise store every column block's pullback residuals
+        — O(C) x the attention live set (measured 47 GB at N=8192 GAT);
+        rematerializing each block bounds it at one block's worth."""
         def one(cot):
             gs = pullback_out(cot)[0]
             return {
@@ -228,7 +250,7 @@ def compute_kfac_factors(model, params, X, y, likelihood: str,
         cots = jnp.pad(cotangents,
                        ((0, pad),) + ((0, 0),) * (cotangents.ndim - 1))
         cots = cots.reshape(-1, column_chunk, *cotangents.shape[1:])
-        covs = jax.lax.map(summed_vmap, cots)
+        covs = jax.lax.map(jax.checkpoint(summed_vmap), cots)
         return {k: jnp.sum(v, axis=0) for k, v in covs.items()}
 
     # -- gradient covariances B per fisher type -----------------------------

@@ -104,10 +104,15 @@ def _masked_attention_chunked(alpha_src, alpha_dst, adj, h, negative_slope,
     67 MB), which is what makes dense-adjacency GAT structure learning
     feasible at N >= 8k. ``jax.checkpoint`` bounds the reverse pass the same
     way (scores are recomputed per block instead of stored), and forward-mode
-    jvp (the GGN mat-vec path) passes straight through."""
+    jvp (the GGN mat-vec path) passes straight through.
+
+    ``adj``/``alpha_dst`` may cover only R <= N target rows (a row shard —
+    parallel/sharded.py::make_row_sharded_gat_attention feeds per-device
+    blocks); sources always span the full ``alpha_src``/``h``."""
     n, H = alpha_src.shape
-    n_pad = -(-n // block) * block
-    pad = n_pad - n
+    R = adj.shape[0]
+    n_pad = -(-R // block) * block
+    pad = n_pad - R
     adj_p = jnp.pad(adj, ((0, pad), (0, 0)))
     a_dst_p = jnp.pad(alpha_dst, ((0, pad), (0, 0)))
 
@@ -121,7 +126,7 @@ def _masked_attention_chunked(alpha_src, alpha_dst, adj, h, negative_slope,
 
     i0s = jnp.arange(0, n_pad, block)
     out = jax.lax.map(one_block, i0s)          # (n_pad/block, block, H, F)
-    return out.reshape(n_pad, H, h.shape[-1])[:n]
+    return out.reshape(n_pad, H, h.shape[-1])[:R]
 
 
 class GATConv:
@@ -153,7 +158,8 @@ class GATConv:
     def __init__(self, in_channels: int, out_channels: int, heads: int,
                  negative_slope: float = 0.2, concat: bool = True,
                  bias: bool = True, name: str = "conv",
-                 row_block: Optional[int] = None):
+                 row_block: Optional[int] = None,
+                 attention_impl: Optional[callable] = None):
         self.in_channels = in_channels
         self.out_channels = out_channels
         self.heads = heads
@@ -163,6 +169,11 @@ class GATConv:
         self.lin = Linear(in_channels, heads * out_channels, bias=False, name=name)
         self.name = name
         self.row_block = row_block
+        #: optional override for the masked-softmax aggregation with the
+        #: signature (alpha_src, alpha_dst, adj, h, negative_slope) -> out —
+        #: e.g. parallel/sharded.py::make_row_sharded_gat_attention for
+        #: row-sharded dense structure learning over a device mesh
+        self.attention_impl = attention_impl
 
     def init(self, key, dtype=None) -> dict:
         dtype = resolve_dtype(dtype)
@@ -191,7 +202,10 @@ class GATConv:
         block = self.row_block
         if block is None and n > self.AUTO_CHUNK_N:
             block = 512
-        if block and block < n:
+        if self.attention_impl is not None:
+            out = self.attention_impl(alpha_src, alpha_dst, adj, h,
+                                      self.negative_slope)
+        elif block and block < n:
             out = _masked_attention_chunked(
                 alpha_src, alpha_dst, adj, h, self.negative_slope, block)
         else:

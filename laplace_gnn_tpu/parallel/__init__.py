@@ -1,5 +1,6 @@
-from .distributed import (DcnAggGraph, initialize, make_dcn_halo_aggregate,
-                          make_hybrid_mesh, stripe_edges)
+from .distributed import (DcnAggGraph, initialize, make_dcn_gat_aggregate,
+                          make_dcn_halo_aggregate, make_hybrid_mesh,
+                          stripe_edges)
 from .scaling import dcn_projection, projected_scaling
 from .mesh import graph_sharding, make_mesh, replicated, shard_gnn_params
 from .partition import (HaloPlan, Partition, apply_node_order, bandwidth,

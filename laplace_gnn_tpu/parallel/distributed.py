@@ -40,7 +40,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from .sharded import build_halo_exchange, _halo_partition, _local_only_aggregate
+from .sharded import (build_halo_exchange, make_halo_gat_aggregate,
+                      _halo_partition, _local_only_aggregate)
 
 
 def initialize(coordinator_address: Optional[str] = None,
@@ -254,16 +255,199 @@ def _dcn_only_aggregate(mesh: Mesh, graph, slices):
     return aggregate_fn, put, stats
 
 
+def make_dcn_gat_aggregate(mesh: Mesh, graph):
+    """Edge-striped multi-host GAT edge-softmax over a
+    ('dcn', 'graph'[, 'model']) mesh.
+
+    GAT's per-destination softmax needs a cross-slice reduction when edges
+    are DCN-striped: a destination's neighbor set is split across slices, so
+    neither the max-shift nor the denominator is local to one slice. The
+    same two-pass trick the ICI halo GAT uses across its local/remote edge
+    sets (sharded.py::_edge_softmax) runs here across the 'dcn' axis:
+
+      1. each slice computes per-destination score maxima over its owned
+         edges; one ``pmax`` over 'dcn' makes the shift global. The shift is
+         value-irrelevant (softmax(s - c) is independent of c), so it is
+         taken under ``stop_gradient`` — gradients stay exact and the pmax
+         never enters the AD graph;
+      2. each slice computes its partial softmax numerator (block, heads, F)
+         and denominator (block, heads); one fused ``psum`` over 'dcn'
+         completes both, and the quotient is the attention output.
+
+    Within a slice, boundary h-rows move over the ICI 'graph' axis exactly
+    like the SpMM halo (shared plan machinery, common padded widths across
+    slices). DCN traffic per apply: one (block, heads) pmax + one
+    (block, heads, (F+1)) psum — same order as the SpMM DCN psum.
+
+    Reference being scaled: the dense (N, N, heads) masked softmax of
+    gnn/models/layers.py:101-124, which is single-device by construction.
+
+    Returns (gat_fn, put) with
+    ``gat_fn(h, att_src, att_dst, negative_slope) -> (N, heads, F)``.
+    """
+    n_dcn = mesh.shape["dcn"]
+    n_graph = mesh.shape["graph"]
+    if n_dcn == 1:
+        # no DCN striping — intra-slice halo GAT (psum-free); shard_map
+        # specs over 'graph' simply replicate across the size-1 'dcn' axis
+        return make_halo_gat_aggregate(mesh, graph)
+
+    slices = stripe_edges(graph, n_dcn)
+    if n_graph == 1:
+        return _dcn_only_gat(mesh, graph, slices)
+
+    # common halo/edge paddings across slices (remote-src indices encode H,
+    # so H must be fixed before packing — same constraint as the SpMM path)
+    widths, els, ers = [], [], []
+    for s in slices:
+        needed, _, _ = _halo_partition(s, n_graph)
+        widths.append(max((len(needed[p][q]) for p in range(n_graph)
+                           for q in range(n_graph) if p != q), default=0))
+        o_src = np.asarray(s.src) // (graph.n_nodes // n_graph)
+        o_dst = np.asarray(s.dst) // (graph.n_nodes // n_graph)
+        els.append(int(max(((o_dst == p) & (o_src == p)).sum()
+                           for p in range(n_graph))))
+        ers.append(int(max(((o_dst == p) & (o_src != p)).sum()
+                           for p in range(n_graph))))
+    H = max(1, max(widths))
+    EL, ER = max(1, max(els)), max(1, max(ers))
+
+    plans = [build_halo_exchange(s, n_graph, H_min=H, EL_min=EL, ER_min=ER)
+             for s in slices]
+    block = plans[0]["block"]
+    stacked = {k: np.stack([pl[k] for pl in plans])
+               for k in ("send_idx", "src_l", "dst_l", "m_l",
+                         "src_r", "dst_r", "m_r")}
+
+    def local(send_idx_b, src_l, dst_l, ml, src_r, dst_r, mr,
+              h_blk, att_s, att_d, slope):
+        heads, F = h_blk.shape[1], h_blk.shape[2]
+        buf = h_blk[send_idx_b[0, 0]]          # (n_graph, H, heads, F)
+        halo = jax.lax.all_to_all(buf, "graph", split_axis=0,
+                                  concat_axis=0, tiled=False)
+        halo_flat = halo.reshape(n_graph * H, heads, F)
+        sl, dl, ml_ = src_l[0, 0], dst_l[0, 0], ml[0, 0]
+        sr, dr, mr_ = src_r[0, 0], dst_r[0, 0], mr[0, 0]
+
+        neg = jnp.asarray(-1e30, h_blk.dtype)
+        a_src_blk = jnp.sum(h_blk * att_s, axis=-1)          # (block, heads)
+        a_dst_blk = jnp.sum(h_blk * att_d, axis=-1)
+        a_src_halo = jnp.sum(halo_flat * att_s, axis=-1)     # (n_graph*H, heads)
+        s_l = jax.nn.leaky_relu(a_src_blk[sl] + a_dst_blk[dl], slope)
+        s_r = jax.nn.leaky_relu(a_src_halo[sr] + a_dst_blk[dr], slope)
+        s_l = jnp.where(ml_[:, None], s_l, neg)
+        s_r = jnp.where(mr_[:, None], s_r, neg)
+
+        smax = jnp.maximum(
+            jax.ops.segment_max(s_l, dl, num_segments=block),
+            jax.ops.segment_max(s_r, dr, num_segments=block))
+        smax = jax.lax.pmax(jax.lax.stop_gradient(smax), "dcn")
+        smax = jnp.where(smax > neg / 2, smax, 0.0)
+
+        ex_l = jnp.where(ml_[:, None], jnp.exp(s_l - smax[dl]), 0.0)
+        ex_r = jnp.where(mr_[:, None], jnp.exp(s_r - smax[dr]), 0.0)
+        denom = (jax.ops.segment_sum(ex_l, dl, num_segments=block)
+                 + jax.ops.segment_sum(ex_r, dr, num_segments=block))
+        numer = (jax.ops.segment_sum(ex_l[:, :, None] * h_blk[sl], dl,
+                                     num_segments=block)
+                 + jax.ops.segment_sum(ex_r[:, :, None] * halo_flat[sr], dr,
+                                       num_segments=block))
+        denom, numer = jax.lax.psum((denom, numer), "dcn")
+        return numer / jnp.maximum(denom[:, :, None], 1e-16)
+
+    sharded = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P("dcn", "graph"),) * 7
+        + (P("graph", None, None), P(), P(), P()),
+        out_specs=P("graph", None, None))
+
+    spec = NamedSharding(mesh, P("graph", None))
+
+    def gat_fn(h, att_src, att_dst, negative_slope):
+        # host-side plan arrays, materialized per trace (see
+        # make_dcn_halo_aggregate)
+        a = {k: jnp.asarray(v) for k, v in stacked.items()}
+        return sharded(a["send_idx"], a["src_l"], a["dst_l"], a["m_l"],
+                       a["src_r"], a["dst_r"], a["m_r"],
+                       h, att_src, att_dst,
+                       jnp.asarray(negative_slope, h.dtype))
+
+    def put(x):
+        return jax.device_put(x, spec)
+
+    return gat_fn, put
+
+
+def _dcn_only_gat(mesh: Mesh, graph, slices):
+    """Degenerate n_graph == 1 case: each dcn slice computes the partial
+    softmax over its edge stripe on the replicated h; pmax + psum finish."""
+    n_nodes = graph.n_nodes
+    E = max(max(len(s.src) for s in slices), 1)
+    src = np.zeros((len(slices), E), np.int32)
+    dst = np.zeros((len(slices), E), np.int32)
+    m = np.zeros((len(slices), E), bool)
+    for k, s in enumerate(slices):
+        src[k, :len(s.src)] = s.src
+        dst[k, :len(s.dst)] = s.dst
+        m[k, :len(s.src)] = True
+
+    def local(src_b, dst_b, m_b, h, att_s, att_d, slope):
+        sb, db, mb = src_b[0], dst_b[0], m_b[0]
+        neg = jnp.asarray(-1e30, h.dtype)
+        a_src = jnp.sum(h * att_s, axis=-1)
+        a_dst = jnp.sum(h * att_d, axis=-1)
+        s = jax.nn.leaky_relu(a_src[sb] + a_dst[db], slope)
+        s = jnp.where(mb[:, None], s, neg)
+        smax = jax.ops.segment_max(s, db, num_segments=n_nodes)
+        smax = jax.lax.pmax(jax.lax.stop_gradient(smax), "dcn")
+        smax = jnp.where(smax > neg / 2, smax, 0.0)
+        ex = jnp.where(mb[:, None], jnp.exp(s - smax[db]), 0.0)
+        denom = jax.ops.segment_sum(ex, db, num_segments=n_nodes)
+        numer = jax.ops.segment_sum(ex[:, :, None] * h[sb], db,
+                                    num_segments=n_nodes)
+        denom, numer = jax.lax.psum((denom, numer), "dcn")
+        return numer / jnp.maximum(denom[:, :, None], 1e-16)
+
+    sharded = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P("dcn"), P("dcn"), P("dcn"), P(), P(), P(), P()),
+        out_specs=P())
+
+    rep = NamedSharding(mesh, P())
+
+    def gat_fn(h, att_src, att_dst, negative_slope):
+        return sharded(jnp.asarray(src), jnp.asarray(dst), jnp.asarray(m),
+                       h, att_src, att_dst,
+                       jnp.asarray(negative_slope, h.dtype))
+
+    def put(x):
+        return jax.device_put(x, rep)
+
+    return gat_fn, put
+
+
 class DcnAggGraph:
     """Duck-typed graph (like parallel.sharded.HaloAggGraph) whose ``spmm``
     runs edge-striped over 'dcn' with ICI halo exchange over 'graph'.
     Construct sparse models with it and the entire training step —
-    forward, backward, differentiable KFAC marglik — runs multi-host."""
+    forward, backward, differentiable KFAC marglik — runs multi-host.
+
+    SparseGCN/SparseSAGE aggregate via :meth:`spmm`; SparseGAT routes its
+    edge-softmax through :meth:`gat_aggregate` (cross-slice two-pass
+    softmax, see :func:`make_dcn_gat_aggregate`)."""
 
     def __init__(self, mesh: Mesh, graph, d_features: int = 0):
         self.mesh = mesh
         self.graph = graph
         self.n_nodes = graph.n_nodes
         self.shape = (graph.n_nodes, graph.n_nodes)
+        self._gat = None
         self.spmm, self.put, self.stats = make_dcn_halo_aggregate(
             mesh, graph, d_features)
+
+    def gat_aggregate(self, h, att_src, att_dst, negative_slope):
+        """DCN-striped GAT edge-softmax aggregation (built lazily).
+        ``h`` is (N, heads, F)."""
+        if self._gat is None:
+            self._gat = make_dcn_gat_aggregate(self.mesh, self.graph)[0]
+        return self._gat(h, att_src, att_dst, negative_slope)

@@ -572,6 +572,59 @@ class HaloAggGraph:
         return self._gat(h, att_src, att_dst, negative_slope)
 
 
+def make_row_sharded_gat_attention(mesh: Mesh, row_block: Optional[int] = 512):
+    """Row-partitioned DENSE-adjacency GAT attention under shard_map — the
+    scaling path for dense GAT *structure learning*, where the adjacency is
+    the learnable N x N object (the sparse halo GAT above serves fixed
+    graphs).
+
+    Each device owns a (N/n_g, N) row block of the adjacency and computes
+    the masked softmax for its target rows. Only the small per-node tensors
+    cross ICI: one all_gather of alpha_src (N, heads) and one of h
+    (N, heads, F) — O(N * hidden) bytes vs the O(N^2) adjacency, which
+    never moves. Within a device the flash-style row-blocked kernel
+    (models/layers.py::_masked_attention_chunked) bounds attention memory
+    to row_block * N * heads.
+
+    Why shard_map and not jit auto-sharding: the row-blocked kernel slices
+    the adjacency at traced offsets (lax.map over dynamic_slice), which the
+    SPMD partitioner cannot prove local — it replicates the whole program
+    per device (measured: 8-device temps EQUAL single-device at N=8192).
+    Under shard_map the locality is stated, not inferred.
+
+    Returns ``attention(alpha_src, alpha_dst, adj, h, negative_slope)``
+    with adj/alpha_dst/h row-sharded P('graph', ...) and output row-sharded
+    — a drop-in ``GATConv.attention_impl``. Fully differentiable (vjp of
+    all_gather is a reduce-scatter; jvp passes through), so the KFAC
+    hyperstep's pullbacks ride the same path.
+    """
+    n_parts = mesh.shape["graph"]
+
+    def attention(alpha_src, alpha_dst, adj, h, negative_slope):
+        from ..models.layers import (_masked_attention_chunked,
+                                     _masked_attention_dense)
+
+        def local(a_src_blk, a_dst_blk, adj_blk, h_blk):
+            a_src = jax.lax.all_gather(a_src_blk, "graph", axis=0,
+                                       tiled=True)            # (N, H)
+            h_full = jax.lax.all_gather(h_blk, "graph", axis=0,
+                                        tiled=True)           # (N, H, F)
+            if row_block and row_block < adj_blk.shape[0]:
+                return _masked_attention_chunked(
+                    a_src, a_dst_blk, adj_blk, h_full, negative_slope,
+                    row_block)
+            return _masked_attention_dense(a_src, a_dst_blk, adj_blk,
+                                           h_full, negative_slope)
+
+        return jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P("graph", None), P("graph", None),
+                      P("graph", None), P("graph", None, None)),
+            out_specs=P("graph", None, None))(alpha_src, alpha_dst, adj, h)
+
+    return attention
+
+
 def make_halo_gat_aggregate(mesh: Mesh, graph, schedule: str = "alltoall"):
     """Halo-partitioned GAT edge-softmax aggregation.
 

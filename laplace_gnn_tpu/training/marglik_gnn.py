@@ -18,6 +18,7 @@ One compiled XLA program per hyperstep; factors never leave the device.
 from __future__ import annotations
 
 import copy
+import math as _math
 import os
 import pickle
 import time
@@ -54,6 +55,7 @@ def make_neg_marglik_fn(model, likelihood: str, hessian_structure: str,
                         subset_of_weights: str, N: int,
                         prior_precision: float = 1.0,
                         temperature: float = 1.0,
+                        sigma_noise: float = 1.0,
                         cache_static_factors: bool = True,
                         fisher_type: str = "type-2",
                         column_chunk=None) -> Callable:
@@ -72,7 +74,12 @@ def make_neg_marglik_fn(model, likelihood: str, hessian_structure: str,
     # run mixed-structure KFAC: Kron blocks for the Linear sites + exact
     # curvature-diagonal blocks for the rest (the reference crashes on this
     # combination, curvlinops/kfac.py:130).
-    H_factor = 1.0 / temperature
+    # H_factor = 1/sigma^2/temperature, exactly as BaseLaplace._H_factor
+    # (laplace/base.py; reference laplace/baselaplace.py:566-568) — so the
+    # fused value below is pinned equal to
+    # Laplace(...).log_marginal_likelihood() by
+    # tests/test_marglik_equivalence.py.
+    H_factor = 1.0 / (sigma_noise ** 2) / temperature
 
     # Precompute the constant input-covariance eigenvalues where valid: the
     # first tap of a BaseGNN whose first conv consumes raw X (GCNConv).
@@ -188,6 +195,13 @@ def make_neg_marglik_fn(model, likelihood: str, hessian_structure: str,
                        "full": backend.full}[hessian_structure]
             loss, H = closure(X, y, N=N)
         loglik = -H_factor * loss
+        if likelihood == "regression":
+            # Gaussian normalization constant (BaseLaplace.log_likelihood;
+            # reference laplace/baselaplace.py:211-232) — constant in the
+            # adjacency, but kept so the fused value equals the class path
+            n_outputs = y.shape[-1] if y.ndim > 1 else 1
+            loglik = loglik - N * n_outputs * _math.log(
+                sigma_noise * _math.sqrt(2 * _math.pi))
 
         n_params = backend.n_params
         prior_diag = prior_precision * jnp.ones(n_params)
@@ -571,7 +585,9 @@ def marglik_optimization_scan(model, params,
                               grad_norm: bool = False,
                               early_stop: bool = False,
                               model_type: str = "stegcn",
-                              fisher_type: str = "type-2"):
+                              fisher_type: str = "type-2",
+                              learned_graphs_dir: Optional[str] = None,
+                              y=None):
     """TPU-throughput variant of :func:`marglik_optimization`: the ENTIRE
     training run — every epoch, every hyperstep, best-model tracking for
     both stop criteria — executes inside one jitted ``lax.fori_loop``.
@@ -587,12 +603,24 @@ def marglik_optimization_scan(model, params,
     only sets ``no_adj_update`` rather than breaking). Returns
     (results, final_params, losses, val_losses, neg_margliks) with traces
     as numpy arrays.
+
+    ``learned_graphs_dir`` opts into per-hyper-phase learned-graph
+    snapshots, the scan analog of the eager loop's ``epoch_*.pkl`` dumps
+    (reference gnn/marglik_training.py:244-253): the binarized adjacency of
+    each hyper phase is captured ON DEVICE into a preallocated
+    (n_phases, N, N) bool buffer (1 byte/entry; the where-select costs ~one
+    epoch's tracking), nothing crosses the host boundary until training
+    finishes, and the pkl files (edge_index/marglik/num_edges/homophily/
+    epoch) are written afterwards — so ``graph.plots.get_learned_graphs``
+    and the learned-graph evolution figures work identically on scan runs.
+    Pass ``y`` (full labels) to include homophily in the snapshots.
     """
     train_indices = jnp.asarray(train_indices)
     train_labels = jnp.asarray(train_labels)
     val_indices = jnp.asarray(val_indices)
     val_labels = jnp.asarray(val_labels)
     N = int(train_labels.shape[0])
+    snapshots = learned_graphs_dir is not None
 
     run = _build_scan_run(
         model, params, lr=lr, lr_adj=lr_adj, weight_decay=weight_decay,
@@ -604,11 +632,15 @@ def marglik_optimization_scan(model, params,
         hessian_structure=hessian_structure,
         prior_precision=prior_precision, grad_norm=grad_norm,
         early_stop=early_stop, model_type=model_type, N=N,
-        fisher_type=fisher_type)
+        fisher_type=fisher_type, snapshots=snapshots)
 
-    params_final, traces, best = run(params, train_indices, train_labels,
-                                     val_indices, val_labels)
+    params_final, traces, best, snaps = run(
+        params, train_indices, train_labels, val_indices, val_labels)
     jax.block_until_ready(params_final)
+
+    if snapshots:
+        _write_scan_snapshots(model, learned_graphs_dir, snaps, traces,
+                              params_final, y)
 
     results = {
         "marglik": {"params": best["nm_params"],
@@ -621,12 +653,38 @@ def marglik_optimization_scan(model, params,
             np.asarray(traces["neg_marglik"]))
 
 
+def _write_scan_snapshots(model, learned_graphs_dir, snaps, traces,
+                          params_final, y):
+    """Host-side pkl dump of the on-device hyper-phase snapshots — same
+    file schema as the eager loop (edge_index/marglik/num_edges/homophily/
+    epoch + latest_adj.npy), so graph.plots consumes both."""
+    os.makedirs(learned_graphs_dir, exist_ok=True)
+    count = int(snaps["count"])
+    adjs = np.asarray(snaps["adj"][:count])
+    epochs = np.asarray(snaps["epoch"][:count])
+    n_edges = np.asarray(snaps["num_edges"][:count])
+    nm_trace = np.asarray(traces["neg_marglik"])
+    y_np = np.asarray(y) if y is not None else None
+    for k in range(count):
+        adj = adjs[k].astype(np.float32)
+        epoch = int(epochs[k])
+        h = global_homophily(adj, y_np) if y_np is not None else None
+        with open(os.path.join(learned_graphs_dir,
+                               f"epoch_{epoch}.pkl"), "wb") as f:
+            pickle.dump({"edge_index": adj_to_edge_index(adj),
+                         "marglik": -float(nm_trace[epoch - 1]),
+                         "num_edges": float(n_edges[k]),
+                         "homophily": h, "epoch": epoch}, f)
+    np.save(os.path.join(learned_graphs_dir, "latest_adj.npy"),
+            np.asarray(model.full_adj(params_final)))
+
+
 def _build_scan_run(model, params, *, lr, lr_adj, weight_decay,
                     weight_decay_adj, momentum_adj, n_epochs, n_hypersteps,
                     n_epochs_burnin, n_hyper_stop, marglik_frequency,
                     subset_of_weights, hessian_structure, prior_precision,
                     grad_norm, early_stop, model_type, N,
-                    fisher_type="type-2"):
+                    fisher_type="type-2", snapshots=False):
     """The whole-training jitted program of
     :func:`marglik_optimization_scan`, cached per model x static config with
     the split data as traced arguments. Re-tracing this program costs ~2 s
@@ -637,7 +695,7 @@ def _build_scan_run(model, params, *, lr, lr_adj, weight_decay,
                       momentum_adj, n_epochs, n_hypersteps, n_epochs_burnin,
                       n_hyper_stop, marglik_frequency, subset_of_weights,
                       hessian_structure, prior_precision, grad_norm,
-                      early_stop, model_type, N, fisher_type,
+                      early_stop, model_type, N, fisher_type, snapshots,
                       PATIENCE, jax.tree_util.tree_structure(params))
     cache = _model_program_cache(model)
     if key is not None and key in cache:
@@ -684,6 +742,16 @@ def _build_scan_run(model, params, *, lr, lr_adj, weight_decay,
 
         return jax.lax.fori_loop(0, n_hypersteps, one, (params, astate))
 
+    # static snapshot capacity: hyper phases fire at statically-known epochs
+    # (the early-stop halt can only make fewer fire — 'count' reports how
+    # many actually did)
+    n_snap = 0
+    if snapshots and not no_adj_update:
+        n_snap = sum(1 for e in range(1, n_epochs + 1)
+                     if e < n_hyper_stop and e % marglik_frequency == 0
+                     and e >= n_epochs_burnin)
+    n_nodes = int(params["adj"].shape[0]) if "adj" in params else 0
+
     @jax.jit
     def run(params, tr_idx, tr_y, va_idx, va_y):
         wstate = weight_opt.init(params)
@@ -692,6 +760,12 @@ def _build_scan_run(model, params, *, lr, lr_adj, weight_decay,
             "loss": jnp.zeros(n_epochs),
             "val_loss": jnp.zeros(n_epochs),
             "neg_marglik": jnp.zeros(n_epochs),
+        }
+        snaps = {
+            "adj": jnp.zeros((n_snap, n_nodes, n_nodes), bool),
+            "epoch": jnp.zeros(n_snap, jnp.int32),
+            "num_edges": jnp.zeros(n_snap),
+            "count": jnp.asarray(0, jnp.int32),
         }
         best = {
             "nm": jnp.inf, "nm_epoch": jnp.asarray(0),
@@ -705,7 +779,7 @@ def _build_scan_run(model, params, *, lr, lr_adj, weight_decay,
         }
 
         def epoch_body(i, carry):
-            params, wstate, astate, rng, traces, best = carry
+            params, wstate, astate, rng, traces, best, snaps = carry
             epoch = i + 1
             # identical rng chain to the eager loop (split per epoch, use
             # the subkey) so trajectories match exactly under dropout
@@ -723,6 +797,21 @@ def _build_scan_run(model, params, *, lr, lr_adj, weight_decay,
                     do_hyper,
                     lambda pa: hyper_phase(*pa, tr_idx, tr_y),
                     lambda pa: pa, (params, astate))
+                if n_snap:
+                    # on-device learned-graph snapshot (eager analog:
+                    # marglik_optimization's per-hyper-phase pkl dump)
+                    k = snaps["count"]
+                    adj_full = model.full_adj(params)
+                    snaps = {
+                        "adj": snaps["adj"].at[k].set(jnp.where(
+                            do_hyper, adj_full > 0, snaps["adj"][k])),
+                        "epoch": snaps["epoch"].at[k].set(jnp.where(
+                            do_hyper, epoch, snaps["epoch"][k])),
+                        "num_edges": snaps["num_edges"].at[k].set(jnp.where(
+                            do_hyper, jnp.sum(adj_full),
+                            snaps["num_edges"][k])),
+                        "count": k + do_hyper.astype(jnp.int32),
+                    }
 
             nm = neg_marglik_fn(params, tr_idx, tr_y)
             vf = model.apply(params, va_idx)
@@ -763,13 +852,13 @@ def _build_scan_run(model, params, *, lr, lr_adj, weight_decay,
                                  params, best["vl_params"]),
                 "m_pat": m_pat, "v_pat": v_pat, "no_adj": no_adj,
             }
-            return params, wstate, astate, rng, traces, best
+            return params, wstate, astate, rng, traces, best, snaps
 
         rng0 = jax.random.PRNGKey(0)
-        params, wstate, astate, _, traces, best = jax.lax.fori_loop(
+        params, wstate, astate, _, traces, best, snaps = jax.lax.fori_loop(
             0, n_epochs, epoch_body,
-            (params, wstate, astate, rng0, traces, best))
-        return params, traces, best
+            (params, wstate, astate, rng0, traces, best, snaps))
+        return params, traces, best, snaps
 
     if key is not None:
         cache[key] = run

@@ -31,6 +31,8 @@ import numpy as np
 
 
 def _median_loop_time(loopfn, arg, K, reps=5):
+    """Chained-fori_loop timing (bench.py method): time K and 2K iterations,
+    difference out dispatch overhead, median over ``reps``."""
     jax.block_until_ready(loopfn(arg, jnp.asarray(1)))
     diffs = []
     for _ in range(reps):
@@ -54,6 +56,11 @@ def main():
                     default=[256, 512, 1024])
     ap.add_argument("--skip-dense", action="store_true",
                     help="skip the full (N,N,H) baseline (OOM guard)")
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--kf", type=int, default=20,
+                    help="forward iterations per timed loop")
+    ap.add_argument("--kt", type=int, default=10,
+                    help="train-step iterations per timed loop")
     args = ap.parse_args()
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
@@ -128,8 +135,8 @@ def main():
             err = float(jnp.abs(out - out_ref).max())
             assert err < 1e-4, (name, err)
         fwd_loop, train_loop = programs(model)
-        t_f = _median_loop_time(fwd_loop, params, 20)
-        t_t = _median_loop_time(train_loop, params, 10)
+        t_f = _median_loop_time(fwd_loop, params, args.kf, reps=args.reps)
+        t_t = _median_loop_time(train_loop, params, args.kt, reps=args.reps)
         mb = temp_mb(fwd_loop, params)
         results[name] = (t_f, t_t, mb)
         print(f"{name:9s} fwd {t_f * 1e3:8.2f} ms  train {t_t * 1e3:8.2f} ms"
@@ -141,6 +148,22 @@ def main():
         print(f"best chunked vs dense: fwd {results['dense'][0] / best[0]:.2f}x"
               f", train {results['dense'][1] / best[1]:.2f}x, "
               f"temp {results['dense'][2] / best[2]:.1f}x less")
+
+    # record for bench.py's extras (merged as gat_scale_recorded)
+    import json
+    out_fn = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH_GAT.json")
+    rec = {}
+    if os.path.exists(out_fn):
+        with open(out_fn) as f:
+            rec = json.load(f)
+    key = f"n{n}_h{heads}"
+    rec[key] = {name: {"fwd_ms": round(v[0] * 1e3, 2),
+                       "train_ms": round(v[1] * 1e3, 2)}
+                for name, v in results.items()}
+    with open(out_fn, "w") as f:
+        json.dump(rec, f, indent=1)
+    print(f"recorded to {out_fn}")
 
 
 if __name__ == "__main__":

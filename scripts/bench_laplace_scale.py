@@ -41,6 +41,8 @@ def main():
     X = jnp.asarray(rng.standard_normal((N, D)), jnp.float32)
     y = jnp.asarray(rng.integers(0, C, N))
 
+    import dataclasses
+
     model = SparseGCN(D, HIDDEN, C, 2, X, g, dropout_p=0.0)
     params = model.init(jax.random.PRNGKey(0), dtype=jnp.float32)
     print(f"N={N} E={g.n_edges} hidden={HIDDEN} C={C}", flush=True)
@@ -50,7 +52,18 @@ def main():
     # the marglik gradient w.r.t. the log prior precision. Differentiating
     # through the factors w.r.t. all weights is the *structure-learning*
     # path, which (as in the reference) runs on the dense small-N models.
-    for fisher, chunk in (("type-2", 2), ("mc", None)):
+    #
+    # type-2 knobs (VERDICT r3 #6): the cost is the C pullbacks' random
+    # gathers — E x (chunk*h) cotangent rows per map step. WIDER chunks
+    # amortize the random access (longer contiguous rows) and bf16
+    # aggregation halves the bytes; both exact-or-bounded (bf16 rounds the
+    # gather intermediates only; factors accumulate in f32).
+    configs = [("type-2", 2, None), ("type-2", 4, None),
+               ("type-2", 4, "bfloat16"), ("type-2", 8, "bfloat16"),
+               ("type-2", 40, "bfloat16"), ("mc", None, None)]
+    for fisher, chunk, agg in configs:
+        gm = g if agg is None else dataclasses.replace(g, agg_dtype=agg)
+        model = SparseGCN(D, HIDDEN, C, 2, X, gm, dropout_p=0.0)
 
         def nm_of_logprior(lp, params):
             fn = make_neg_marglik_fn(
@@ -75,21 +88,26 @@ def main():
             return acc
 
         K = 5 if fisher == "type-2" else 40
-        t0 = time.perf_counter()
-        jax.block_until_ready(loop(params, jnp.asarray(1)))
-        print(f"{fisher} chunk={chunk}: compile+1it {time.perf_counter()-t0:.1f}s",
-              flush=True)
-        diffs = []
-        for _ in range(5):
+        tag = f"{fisher} chunk={chunk} agg={agg or 'f32'}"
+        try:
             t0 = time.perf_counter()
-            jax.block_until_ready(loop(params, jnp.asarray(K)))
-            t1 = time.perf_counter()
-            jax.block_until_ready(loop(params, jnp.asarray(2 * K)))
-            t2 = time.perf_counter()
-            diffs.append((t2 - t1) - (t1 - t0))
-        t = float(np.median(diffs)) / K
-        print(f"{fisher} chunk={chunk}: marglik hyperstep {t*1e3:.1f} ms",
-              flush=True)
+            jax.block_until_ready(loop(params, jnp.asarray(1)))
+            val0 = float(vg(jnp.float32(0), params)[0])
+            print(f"{tag}: compile+1it {time.perf_counter()-t0:.1f}s "
+                  f"neg_marglik={val0:.2f}", flush=True)
+            diffs = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                jax.block_until_ready(loop(params, jnp.asarray(K)))
+                t1 = time.perf_counter()
+                jax.block_until_ready(loop(params, jnp.asarray(2 * K)))
+                t2 = time.perf_counter()
+                diffs.append((t2 - t1) - (t1 - t0))
+            t = float(np.median(diffs)) / K
+            print(f"{tag}: marglik hyperstep {t*1e3:.1f} ms", flush=True)
+        except Exception as e:
+            print(f"{tag}: FAILED ({type(e).__name__}: {str(e)[:120]})",
+                  flush=True)
 
 
 if __name__ == "__main__":

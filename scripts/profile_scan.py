@@ -1,10 +1,11 @@
 """Breakdown of the whole-training scan program's device time (TPU).
 
 The headline `marglik_optimization_scan` runs a 200-epoch Cora-sized
-STE-GCN structure-learning run in one jitted fori_loop at ~2.8 s warm.
-Known per-op costs (bench.py: hyperstep ~0.8 ms x 280 marglik evals
-~0.3 s, train steps ~0.3 ms x 200 ~0.06 s) explain only ~0.4 s, so this
-script measures ablated variants of the SAME loop to localize the rest:
+STE-GCN structure-learning run in one jitted fori_loop at ~0.38-0.41 s
+warm (BENCH_NOTES.md). Known per-op costs (bench.py: hyperstep ~0.8 ms
+x 280 marglik evals ~0.23 s, train steps ~0.33 ms x 200 ~0.07 s)
+account for most of it; this script measures ablated variants of the
+SAME loop to attribute the remainder per-feature:
 
   full        : the shipped epoch body
   no_track    : best-params where-selects replaced by scalar tracking

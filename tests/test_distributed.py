@@ -248,3 +248,97 @@ def test_multiprocess_matches_single_process(tmp_path):
         for k in ("checksum", "sq", "neg_marglik", "grad_norm"):
             np.testing.assert_allclose(got[k], want[k], rtol=2e-4,
                                        err_msg=f"proc{pid} {k}")
+
+
+@pytest.mark.parametrize("dcn,gp", [(2, 2), (2, 1), (4, 2), (8, 1)])
+def test_dcn_gat_aggregate_matches_local(dcn, gp):
+    """Cross-slice edge-softmax (pmax of per-dest maxima over 'dcn', one
+    psum of numerator+denominator) == single-device SparseGATConv math."""
+    from laplace_gnn_tpu.parallel import make_dcn_gat_aggregate
+
+    rng = np.random.default_rng(11)
+    n, heads, F = 32, 2, 4
+    adj = np.minimum((rng.random((n, n)) < 0.2)
+                     + (rng.random((n, n)) < 0.2).T, 1).astype(float)
+    np.fill_diagonal(adj, 1)
+    rows, cols = np.nonzero(adj)
+    g = sparse_from_edge_index(np.stack([cols, rows]), n, normalize=None,
+                               add_self_loops=False)
+    mesh = make_hybrid_mesh(dcn_parallel=dcn,
+                            model_parallel=8 // (dcn * gp),
+                            n_devices=8)
+    assert mesh.shape["graph"] == gp
+    h = jnp.asarray(rng.standard_normal((n, heads, F)))
+    att_s = jnp.asarray(rng.standard_normal((1, heads, F)))
+    att_d = jnp.asarray(rng.standard_normal((1, heads, F)))
+
+    def local_ref(h, att_s, att_d):
+        a_src = jnp.sum(h * att_s, axis=-1)
+        a_dst = jnp.sum(h * att_d, axis=-1)
+        s = jax.nn.leaky_relu(a_src[g.src] + a_dst[g.dst], 0.2)
+        smax = jax.ops.segment_max(s, g.dst, num_segments=n)
+        ex = jnp.exp(s - smax[g.dst])
+        denom = jax.ops.segment_sum(ex, g.dst, num_segments=n)
+        coeff = ex / jnp.maximum(denom[g.dst], 1e-16)
+        return jax.ops.segment_sum(coeff[:, :, None] * h[g.src], g.dst,
+                                   num_segments=n)
+
+    gat_fn, put = make_dcn_gat_aggregate(mesh, g)
+    out = jax.jit(lambda *a: gat_fn(*a, 0.2))(put(h), att_s, att_d)
+    ref = local_ref(h, att_s, att_d)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-10)
+
+    # gradients (h and both attention vectors) flow through pmax/psum
+    def obj(fn):
+        def inner(hh, a_s, a_d):
+            return jnp.sum(jnp.sin(fn(hh, a_s, a_d)))
+        return inner
+
+    g_dcn = jax.jit(jax.grad(obj(lambda *a: gat_fn(*a, 0.2)),
+                             argnums=(0, 1, 2)))(put(h), att_s, att_d)
+    g_ref = jax.grad(obj(local_ref), argnums=(0, 1, 2))(h, att_s, att_d)
+    for a, b in zip(g_dcn, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-9)
+
+
+@pytest.mark.slow
+def test_dcn_sparse_gat_marglik_matches_local():
+    """SparseGAT end-to-end on the hybrid mesh: forward, mixed-structure
+    KFAC marglik, and its gradient all equal the single-device run."""
+    from laplace_gnn_tpu.models import SparseGAT
+    from laplace_gnn_tpu.training.marglik_gnn import make_neg_marglik_fn
+
+    rng = np.random.default_rng(12)
+    n, d, c = 32, 8, 3
+    adj = np.minimum((rng.random((n, n)) < 0.2)
+                     + (rng.random((n, n)) < 0.2).T, 1).astype(float)
+    np.fill_diagonal(adj, 1)
+    rows, cols = np.nonzero(adj)
+    g = sparse_from_edge_index(np.stack([cols, rows]), n, normalize=None,
+                               add_self_loops=False)
+    X = jnp.asarray(rng.standard_normal((n, d)))
+    y = jnp.asarray(rng.integers(0, c, n))
+    idx = jnp.arange(n)
+
+    mesh = make_hybrid_mesh(dcn_parallel=2, model_parallel=2)
+    G = DcnAggGraph(mesh, g)
+    m_dcn = SparseGAT(d, 8, c, 2, G.put(X), G, heads=2, concat=False,
+                      dropout_p=0.0)
+    m_loc = SparseGAT(d, 8, c, 2, X, g, heads=2, concat=False,
+                      dropout_p=0.0)
+    params = m_loc.init(jax.random.PRNGKey(2))
+
+    f_dcn = jax.jit(lambda p: m_dcn.apply(p, idx))(params)
+    f_loc = m_loc.apply(params, idx)
+    np.testing.assert_allclose(np.asarray(f_dcn), np.asarray(f_loc),
+                               atol=1e-9)
+
+    nm_loc, g_loc = jax.value_and_grad(make_neg_marglik_fn(
+        m_loc, "classification", "kron", "all", N=n))(params, idx, y)
+    nm_dcn, g_dcn = jax.jit(jax.value_and_grad(make_neg_marglik_fn(
+        m_dcn, "classification", "kron", "all", N=n)))(params, idx, y)
+    np.testing.assert_allclose(float(nm_dcn), float(nm_loc), rtol=1e-8)
+    for a, b in zip(jax.tree_util.tree_leaves(g_dcn),
+                    jax.tree_util.tree_leaves(g_loc)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-8, rtol=1e-6)

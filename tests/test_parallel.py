@@ -632,3 +632,48 @@ def test_ring_dense_projection():
     for r in rows:
         assert r["ring_speedup"] >= 1.0 - 1e-9  # overlap never loses in-model
         assert 0 < r["ring_efficiency"] <= 1.0 + 1e-9
+
+
+@pytest.mark.slow
+def test_row_sharded_gat_hyperstep_triple_composition():
+    """The three hardest features composed in ONE jitted program: chunked
+    GAT attention x mixed-structure KFAC x row-sharded adjacency
+    (shard_map attention, make_row_sharded_gat_attention) — numerics equal
+    the single-device dense path."""
+    from laplace_gnn_tpu.models import GAT
+    from laplace_gnn_tpu.parallel.sharded import make_row_sharded_gat_attention
+    from laplace_gnn_tpu.parallel.mesh import shard_gnn_params
+    from laplace_gnn_tpu.training.marglik_gnn import make_neg_marglik_fn
+
+    rng = np.random.default_rng(13)
+    n, d, hid, c, heads = 128, 8, 8, 4, 2
+    X = jnp.asarray(rng.standard_normal((n, d)), jnp.float64)
+    a = (rng.random((n, n)) < 0.05).astype(np.float64)
+    adj = jnp.asarray(np.minimum(a + a.T, 1.0) * (1 - np.eye(n)))
+    y = jnp.asarray(rng.integers(0, c, n))
+    idx = jnp.arange(n)
+
+    def build(attention_impl, row_block):
+        m = GAT(d, hid, c, 2, X, adj, heads=heads, concat=True,
+                dropout_p=0.0, row_block=row_block,
+                attention_impl=attention_impl)
+        return m
+
+    m_ref = build(None, None)                       # dense single-device
+    params = m_ref.init(jax.random.PRNGKey(3), jnp.float64)
+    nm_ref, g_ref = jax.value_and_grad(make_neg_marglik_fn(
+        m_ref, "classification", "kron", "all", N=n))(params, idx, y)
+
+    mesh = make_mesh(8, model_parallel=1)
+    m_sh = build(make_row_sharded_gat_attention(mesh, row_block=8), None)
+    params_s = jax.device_put(params, shard_gnn_params(mesh, params,
+                                                       model_axis=False))
+    nm_fn = make_neg_marglik_fn(m_sh, "classification", "kron", "all",
+                                N=n, column_chunk=2)
+    nm_sh, g_sh = jax.jit(jax.value_and_grad(nm_fn))(params_s, idx, y)
+
+    np.testing.assert_allclose(float(nm_sh), float(nm_ref), rtol=1e-9)
+    for a_, b_ in zip(jax.tree_util.tree_leaves(g_sh),
+                      jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                   atol=1e-9, rtol=1e-7)

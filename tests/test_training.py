@@ -361,3 +361,39 @@ def test_gat_kron_mixed_structure():
     assert np.isfinite(float(la.log_marginal_likelihood()))
     probs = la(idx, pred_type="glm", link_approx="probit")
     np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_scan_snapshots_match_eager(karate, tmp_path):
+    """learned_graphs_dir on the scan loop produces the same per-hyper-phase
+    snapshot files as the eager loop (edge_index/num_edges/epoch schema),
+    consumable by graph.plots.get_learned_graphs."""
+    from laplace_gnn_tpu.graph.plots import get_learned_graphs
+    from laplace_gnn_tpu.training import marglik_optimization_scan
+    d = karate
+    tr, va, _ = d.split(0)
+    kwargs = dict(lr=0.03, lr_adj=0.2, weight_decay=5e-4, n_epochs=12,
+                  n_hypersteps=3, n_epochs_burnin=4, marglik_frequency=4,
+                  model_type="stegcn")
+    model, params = build_model(d)
+    eager_dir, scan_dir = str(tmp_path / "eager"), str(tmp_path / "scan")
+    marglik_optimization(model, params, tr, d.y[tr], va, d.y[va], y=d.y,
+                         verbose=False, learned_graphs_dir=eager_dir,
+                         **kwargs)
+    marglik_optimization_scan(model, params, tr, d.y[tr], va, d.y[va],
+                              y=d.y, learned_graphs_dir=scan_dir, **kwargs)
+
+    eager = {s["epoch"]: s for _, s in get_learned_graphs(eager_dir)}
+    scan = {s["epoch"]: s for _, s in get_learned_graphs(scan_dir)}
+    assert set(scan) == set(eager) == {4, 8}   # burnin=4, freq=4, stop<12
+    for e in eager:
+        np.testing.assert_array_equal(scan[e]["edge_index"],
+                                      eager[e]["edge_index"])
+        np.testing.assert_allclose(scan[e]["num_edges"],
+                                   eager[e]["num_edges"], rtol=1e-6)
+        np.testing.assert_allclose(scan[e]["homophily"],
+                                   eager[e]["homophily"], rtol=1e-6)
+    # latest_adj written by both
+    a1 = np.load(os.path.join(eager_dir, "latest_adj.npy"))
+    a2 = np.load(os.path.join(scan_dir, "latest_adj.npy"))
+    np.testing.assert_allclose(a1, a2, atol=1e-6)
