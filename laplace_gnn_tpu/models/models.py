@@ -278,6 +278,12 @@ class AttSTEGCN(BaseGNN):
         self.d_k = d_k
         self.scale = math.sqrt(d_k)
         self.adj_W = Linear(in_channels, d_k, bias=False, name="adj_W")
+        #: optional jax.sharding.Sharding applied to the constructed N x N
+        #: attention adjacency (with_sharding_constraint) — the scale hook:
+        #: row-shard the score matrix over a 'graph' mesh axis and XLA
+        #: partitions the (X W)(X W)^T construction, the STE, and the
+        #: normalization with it (see scripts/shard_scale_bench.py)
+        self.adj_constraint = None
         self.train_masked_update = train_masked_update
         if train_masked_update:
             if train_nodes is None:
@@ -298,7 +304,11 @@ class AttSTEGCN(BaseGNN):
     def construct_adj(self, params):
         src = dst = self.adj_W.apply(params["adj_W"], self.X)
         score = (src @ dst.T) / self.scale
-        return jnp.clip(score, 0.0, 1.0)  # hardtanh(0, 1) (reference :345)
+        score = jnp.clip(score, 0.0, 1.0)  # hardtanh(0, 1) (reference :345)
+        if self.adj_constraint is not None:
+            score = jax.lax.with_sharding_constraint(score,
+                                                     self.adj_constraint)
+        return score
 
     def forward_adj(self, params, rng=None):
         adj = self.construct_adj(params)

@@ -58,10 +58,14 @@ def main():
     # amortize the random access (longer contiguous rows) and bf16
     # aggregation halves the bytes; both exact-or-bounded (bf16 rounds the
     # gather intermediates only; factors accumulate in f32).
-    configs = [("type-2", 2, None), ("type-2", 4, None),
-               ("type-2", 4, "bfloat16"), ("type-2", 8, "bfloat16"),
-               ("type-2", 40, "bfloat16"), ("mc", None, None)]
-    for fisher, chunk, agg in configs:
+    all_configs = [("mc", None, None), ("type-2", 2, None),
+                   ("type-2", 4, None), ("type-2", 4, "bfloat16"),
+                   ("type-2", 8, "bfloat16"), ("type-2", 40, "bfloat16")]
+    # --config k runs ONE config (fresh process per config: a faulted TPU
+    # program poisons the runtime session for everything after it)
+    if len(sys.argv) > 4:
+        all_configs = [all_configs[int(sys.argv[4])]]
+    for fisher, chunk, agg in all_configs:
         gm = g if agg is None else dataclasses.replace(g, agg_dtype=agg)
         model = SparseGCN(D, HIDDEN, C, 2, X, gm, dropout_p=0.0)
 

@@ -10,9 +10,11 @@ Composes the three hardest features in ONE jitted program:
     (parallel/mesh.py::shard_gnn_params).
 
 Each pair composes elsewhere; this proves the triple: a full differentiable
-hyperstep (fit factors + marglik + d/d_adj) on a dense-adjacency GAT at
-N=8192 on the 8-device virtual CPU mesh, recording per-device memory from
-XLA's own memory analysis and single- vs 8-device numerics.
+hyperstep (fit factors + marglik + gradient w.r.t. all parameters) on a
+dense-adjacency GAT at N=8192 on the 8-device virtual CPU mesh, recording
+per-device memory from XLA's own memory analysis and single- vs 8-device
+numerics. (d/d_adj is structurally zero for plain GAT — see hyperstep_fn —
+so the meaningful gradient target is the weights + attention vectors.)
 
 This is a workload class the reference cannot reach twice over: its dense
 GAT materializes (N, N, heads) scores (gnn/models/layers.py:101-124) and
@@ -67,15 +69,34 @@ def build(n_nodes: int, d_feat: int = 32, hidden: int = 32, n_class: int = 8,
 
 
 def hyperstep_fn(model, n_train: int, column_chunk=None):
+    """Differentiable marglik hyperstep: value + gradient w.r.t. ALL model
+    parameters through the mixed-structure KFAC factors.
+
+    Note on d/d_adj: for plain GAT the adjacency enters the attention only
+    through the boolean mask (adj > 0), so d marglik/d adj is structurally
+    ZERO — faithfully matching the reference, whose GAT never updates its
+    adjacency (gnn/marglik_training.py NO_ADJ_UPDATE models). The
+    meaningful hyperstep gradient for GAT is w.r.t. the weights and
+    attention vectors (marglik training / prior tuning), which is what
+    this step returns (plus g_adj, kept to document that it is zero)."""
     from laplace_gnn_tpu.training.marglik_gnn import make_neg_marglik_fn
     nm = make_neg_marglik_fn(model, "classification", "kron", "all",
                              N=n_train, column_chunk=column_chunk)
 
     def step(params, idx, y):
         v, g = jax.value_and_grad(nm)(params, idx, y)
-        return v, g["adj"]
+        gw_sq = sum(jnp.sum(l ** 2)
+                    for name, l in _named_leaves(g) if name != "adj")
+        return v, jnp.sqrt(gw_sq), g["adj"]
 
     return step
+
+
+def _named_leaves(tree):
+    for path, leaf in jax.tree_util.tree_leaves_with_path(tree):
+        key = path[0]
+        name = getattr(key, "key", getattr(key, "idx", ""))
+        yield str(name), leaf
 
 
 def mem_report(compiled) -> dict:
@@ -169,16 +190,17 @@ def main():
     if args.mem_only:
         return
 
-    nm1, g1 = single(params, idx, y)
-    nm8, g8 = sharded(params_s, idx, y)
+    nm1, gw1, ga1 = single(params, idx, y)
+    nm8, gw8, ga8 = sharded(params_s, idx, y)
     rel = abs(float(nm8) - float(nm1)) / max(abs(float(nm1)), 1.0)
-    gdiff = float(jnp.max(jnp.abs(g8 - g1)))
-    gref = float(jnp.max(jnp.abs(g1)))
+    grel = abs(float(gw8) - float(gw1)) / max(abs(float(gw1)), 1e-12)
     print(f"numerics: neg_marglik rel diff {rel:.2e}, "
-          f"max|d_adj diff| {gdiff:.2e} (max|d_adj|={gref:.2e})")
+          f"|g_weights| rel diff {grel:.2e} (|g_w|={float(gw1):.3e}), "
+          f"max|g_adj|={float(jnp.abs(ga1).max()):.1e} (structurally 0 "
+          f"for GAT)")
     if args.check:
         assert rel < 1e-4, rel
-        assert gdiff < 1e-5 + 1e-3 * gref, (gdiff, gref)
+        assert grel < 1e-3, (float(gw8), float(gw1))
         print("check: OK")
 
 

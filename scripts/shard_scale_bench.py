@@ -47,8 +47,9 @@ import numpy as np  # noqa: E402
 
 
 def build(n_nodes: int, d_feat: int = 32, hidden: int = 32, n_class: int = 7,
-          density: float = 14e-4, n_train: int = 1024, dtype=jnp.float32):
-    from laplace_gnn_tpu.models import STEGCN
+          density: float = 14e-4, n_train: int = 1024, dtype=jnp.float32,
+          model_type: str = "stegcn"):
+    from laplace_gnn_tpu.models import AttSTEGCN, STEGCN
     rng = np.random.default_rng(0)
     X = rng.standard_normal((n_nodes, d_feat)).astype(dtype)
     adj = (rng.random((n_nodes, n_nodes)) < density).astype(np.float32)
@@ -56,20 +57,24 @@ def build(n_nodes: int, d_feat: int = 32, hidden: int = 32, n_class: int = 7,
     np.fill_diagonal(adj, 0.0)
     y = jnp.asarray(rng.integers(0, n_class, n_train))
     idx = jnp.arange(n_train)
-    model = STEGCN(d_feat, hidden, n_class, 2, jnp.asarray(X),
-                   jnp.asarray(adj, dtype), dropout_p=0.0)
+    cls = {"stegcn": STEGCN, "attstegcn": AttSTEGCN}[model_type]
+    model = cls(d_feat, hidden, n_class, 2, jnp.asarray(X),
+                jnp.asarray(adj, dtype), dropout_p=0.0)
     params = model.init(jax.random.PRNGKey(0), dtype)
     return model, params, idx, y
 
 
-def hyperstep_fn(model, n_train: int):
+def hyperstep_fn(model, n_train: int, grad_leaf: str = "adj"):
     from laplace_gnn_tpu.training.marglik_gnn import make_neg_marglik_fn
     nm = make_neg_marglik_fn(model, "classification", "kron", "all",
                              N=n_train)
 
     def step(params, idx, y):
         v, g = jax.value_and_grad(nm)(params, idx, y)
-        return v, g["adj"]
+        # STEGCN learns params['adj'] directly; AttSTEGCN learns the
+        # attention projection adj_W that CONSTRUCTS the adjacency
+        gl = g[grad_leaf]
+        return v, (gl["weight"] if isinstance(gl, dict) else gl)
 
     return step
 
@@ -101,6 +106,12 @@ def main():
     ap.add_argument("--check", action="store_true",
                     help="assert sharded == single-device numerics")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--model", default="stegcn",
+                    choices=["stegcn", "attstegcn"],
+                    help="attstegcn: adjacency CONSTRUCTED by scaled "
+                    "dot-product attention + STE (structure learning "
+                    "through the adj_W projection); the N x N score "
+                    "matrix is row-sharded via model.adj_constraint")
     args = ap.parse_args()
 
     from laplace_gnn_tpu.parallel.mesh import make_mesh, shard_gnn_params
@@ -110,9 +121,10 @@ def main():
     assert len(jax.devices()) >= 8, \
         f"need 8 virtual devices, got {len(jax.devices())}"
 
-    model, params, idx, y = build(args.n)
+    model, params, idx, y = build(args.n, model_type=args.model)
     n_train = int(idx.shape[0])
-    step = hyperstep_fn(model, n_train)
+    grad_leaf = "adj_W" if args.model == "attstegcn" else "adj"
+    step = hyperstep_fn(model, n_train, grad_leaf=grad_leaf)
 
     # single device
     single = jax.jit(step)
@@ -125,6 +137,11 @@ def main():
     # 8-device row-sharded (adj rows over 'graph'; weights replicated —
     # model TP is off: at hidden=32 the N x N terms dominate)
     mesh = make_mesh(8, model_parallel=1)
+    if args.model == "attstegcn":
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        # the N x N object is CONSTRUCTED inside the trace; row-shard it
+        # at the source via the model's sharding-constraint hook
+        model.adj_constraint = NamedSharding(mesh, P("graph", None))
     shardings = shard_gnn_params(mesh, params, model_axis=False)
     params_s = jax.device_put(params, shardings)
     sharded = jax.jit(step)
@@ -133,7 +150,7 @@ def main():
     m8 = mem_report(comp8)
     nm8, g8 = sharded(params_s, idx, y)
 
-    print(f"dense STE-GCN KFAC-marglik hyperstep, N={args.n}, "
+    print(f"dense {args.model} KFAC-marglik hyperstep, N={args.n}, "
           f"E~{float(jnp.sum(params['adj'] > 0.5)):.0f}, "
           f"n_train={n_train}, dtype={params['adj'].dtype}")
     print(f"{'':14s}{'wall-clock':>12s}{'args MB':>10s}{'temp MB':>10s}"

@@ -125,3 +125,13 @@ def test_multihost_launch_example(tmp_path):
     s1, s2 = scalars(single.stdout), scalars(spawned.stdout)
     assert len(s1) == 1 and len(s2) == 1, (s1, s2)
     assert s1 == s2, (s1, s2)
+
+
+def test_learned_graph_evolution(capsys, tmp_path, monkeypatch):
+    monkeypatch.setattr(sys, "argv", ["x", str(tmp_path)])
+    run_example("11_learned_graph_evolution.py")
+    out = capsys.readouterr().out
+    assert "figures written" in out
+    for fn in ("adj_initial.png", "adj_learned.png", "homophily.png",
+               "edge_types.png", "degrees.png"):
+        assert (tmp_path / fn).exists(), fn

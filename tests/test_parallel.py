@@ -677,3 +677,48 @@ def test_row_sharded_gat_hyperstep_triple_composition():
                       jax.tree_util.tree_leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
                                    atol=1e-9, rtol=1e-7)
+    # plain GAT: adj enters attention only through the boolean mask, so
+    # d/d_adj is structurally zero (reference semantics: GAT is a
+    # NO_ADJ_UPDATE model); the meaningful hyperstep gradient is the
+    # weight/attention one asserted nonzero here
+    assert float(jnp.abs(g_ref["adj"]).max()) == 0.0
+    gw = [l for k, l in g_ref.items() if k != "adj"]
+    assert max(float(jnp.abs(x).max())
+               for x in jax.tree_util.tree_leaves(gw)) > 0
+
+
+def test_attstegcn_row_sharded_hyperstep_matches_single_device():
+    """Attention-CONSTRUCTED adjacency (AttSTEGCN) shards through the
+    model's adj_constraint hook: the N x N score matrix is pinned to
+    P('graph', None) inside the trace and the differentiable hyperstep
+    (marglik + d/d_adj_W through the STE) matches single-device."""
+    from jax.sharding import NamedSharding
+    from laplace_gnn_tpu.models import AttSTEGCN
+    from laplace_gnn_tpu.parallel.mesh import shard_gnn_params
+    from laplace_gnn_tpu.training.marglik_gnn import make_neg_marglik_fn
+
+    rng = np.random.default_rng(14)
+    n, d, c = 64, 8, 4
+    X = jnp.asarray(rng.standard_normal((n, d)))
+    a = (rng.random((n, n)) < 0.1).astype(np.float64)
+    adj = jnp.asarray(np.minimum(a + a.T, 1.0) * (1 - np.eye(n)))
+    y = jnp.asarray(rng.integers(0, c, n))
+    idx = jnp.arange(n)
+
+    model = AttSTEGCN(d, 8, c, 2, X, adj, dropout_p=0.0)
+    params = model.init(jax.random.PRNGKey(4), jnp.float64)
+    nm_fn = make_neg_marglik_fn(model, "classification", "kron", "all", N=n)
+    nm1, g1 = jax.value_and_grad(nm_fn)(params, idx, y)
+
+    mesh = make_mesh(8, model_parallel=1)
+    model.adj_constraint = NamedSharding(mesh, P("graph", None))
+    params_s = jax.device_put(params, shard_gnn_params(mesh, params,
+                                                       model_axis=False))
+    nm8, g8 = jax.jit(jax.value_and_grad(nm_fn))(params_s, idx, y)
+    model.adj_constraint = None
+
+    np.testing.assert_allclose(float(nm8), float(nm1), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(g8["adj_W"]["weight"]),
+                               np.asarray(g1["adj_W"]["weight"]),
+                               rtol=1e-8, atol=1e-10)
+    assert float(jnp.abs(g1["adj_W"]["weight"]).max()) > 0
