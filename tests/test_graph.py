@@ -104,7 +104,9 @@ def test_unknown_dataset_error(tmp_path):
 
 def test_npz_loader(tmp_path):
     x = np.random.randn(10, 4).astype(np.float32)
-    y = np.random.randint(0, 3, 10)
+    # deterministic labels: the global RNG could miss a class entirely
+    # (~3.5% of orderings), making num_classes flaky
+    y = np.arange(10) % 3
     e = np.array([[0, 1], [1, 2]])
     np.savez(tmp_path / "mini.npz", x=x, y=y, edge_index=e)
     d = G.load_data("mini", root=str(tmp_path), n_rand_splits=2)
