@@ -181,7 +181,8 @@ class CurvatureBackend:
 
     def _kron(self, X, y, N: int, fisher_type: Optional[str] = None,
               mc_samples: int = 1, kfac_approx: str = "expand", seed: int = 0,
-              column_chunk: Optional[int] = None, mixed_diag: bool = True):
+              column_chunk: Optional[int] = None, mixed_diag: bool = True,
+              sketch_size: int = 8):
         """Shared KFAC path (laplace/curvature/curvlinops.py:77-108):
         compute factors on this batch, rescale A by M/N, multiply by factor.
 
@@ -196,7 +197,7 @@ class CurvatureBackend:
             mc_samples=mc_samples, kfac_approx=kfac_approx,
             exclude=self.exclude, last_layer=self.last_layer,
             N=N, seed=seed, return_output=True, column_chunk=column_chunk,
-            mixed_diag=mixed_diag)
+            mixed_diag=mixed_diag, sketch_size=sketch_size)
         kron = kron * self.factor
         # reuse the factor-computation forward for the loss (one full-graph
         # forward total instead of three)

@@ -16,7 +16,10 @@ covariances with N_data=M and then rescales A by M/N):
     B = sum over backward passes of g^T g  (sum-reduction loss, correction
                                       1/mc_samples for MC)
 Fisher types (curvlinops/kfac.py:66-72): 'type-2' (exact loss-Hessian square
-root columns), 'mc', 'empirical', 'forward-only'.
+root columns), 'mc', 'empirical', 'forward-only'; plus two extensions:
+'type-2-fork' (reproduces the reference fork's non-detached-sqrt quirk, see
+PARITY.md) and 'type-2-sketch' (k-column Rademacher sketch of the exact
+sqrt — unbiased B at k << C pullbacks, see _sketch_projection).
 
 Because everything here is plain traced JAX, the returned ``Kron`` is
 differentiable w.r.t. anything the forward depends on — including the
@@ -38,8 +41,24 @@ from ..utils.pytree import (DEFAULT_EXCLUDE, merge_split, named_leaves,
                             posterior_mask, split_by_mask)
 from .losses import get_loss_fn, loss_hessian_sqrt
 
-FISHER_TYPES = ("type-2", "type-2-fork", "mc", "empirical", "forward-only")
+FISHER_TYPES = ("type-2", "type-2-fork", "type-2-sketch", "mc", "empirical",
+                "forward-only")
 KFAC_APPROX = ("expand", "reduce")
+
+
+def _sketch_projection(seed: int, C: int, k: int, dtype):
+    """Rademacher sketch P (C, k) scaled so E[P P^T] = I.
+
+    Projecting the loss-Hessian square root's C columns onto k random
+    +-1/sqrt(k) combinations gives an UNBIASED estimator of the exact
+    type-2 backward covariance B = sum_c (J^T S_c)(J^T S_c)^T at k
+    pullbacks instead of C — relative variance ~1/k, measured error and
+    cost tables in BENCH_NOTES. Unlike MC Fisher (labels sampled from the
+    predictive, curvlinops/kfac.py:698-746) the randomness here enters
+    linearly through fixed exact columns, so a fixed seed yields a smooth,
+    deterministic surrogate the marglik hyperstep can differentiate."""
+    P = jax.random.rademacher(jax.random.PRNGKey(seed), (C, k))
+    return P.astype(dtype) / jnp.sqrt(jnp.asarray(float(k), dtype))
 
 
 def _posterior_sites(model, params, exclude, last_layer,
@@ -78,7 +97,8 @@ def _name_to_path(name: str) -> tuple:
 
 
 def _mixed_diag_blocks(model, w, frozen, X, y, out, uncovered, fisher_type,
-                       likelihood, mc_samples, seed, lossfunc):
+                       likelihood, mc_samples, seed, lossfunc,
+                       sketch_size=8):
     """Exact per-parameter curvature diagonal for posterior leaves outside
     every KFAC tap site (GAT attention vectors, GAT biases) — the diagonal
     counterpart of the KFAC B/A blocks, same Fisher semantics and scale.
@@ -115,6 +135,10 @@ def _mixed_diag_blocks(model, w, frozen, X, y, out, uncovered, fisher_type,
         # mixed-structure diag blocks (the reference crashes on mixed
         # models, so there is nothing to pin against)
         R = loss_hessian_sqrt(likelihood, out)
+    elif fisher_type == "type-2-sketch":
+        S = loss_hessian_sqrt(likelihood, out)
+        P = _sketch_projection(seed, S.shape[-1], sketch_size, out.dtype)
+        R = jnp.einsum("mcd,dk->mck", S, P)
     elif fisher_type == "mc":
         key0 = jax.random.PRNGKey(seed)
         cols = []
@@ -163,7 +187,8 @@ def compute_kfac_factors(model, params, X, y, likelihood: str,
                          N: Optional[int] = None, seed: int = 0,
                          return_output: bool = False,
                          column_chunk: Optional[int] = None,
-                         mixed_diag: bool = False):
+                         mixed_diag: bool = False,
+                         sketch_size: int = 8):
     """Compute KFAC factors for one batch (X, y); A normalized by ``N``
     (total dataset size — the M/N rescale of laplace/curvature/
     curvlinops.py:46-53 pre-applied). With ``return_output=True`` also
@@ -260,6 +285,12 @@ def compute_kfac_factors(model, params, X, y, likelihood: str,
         S = loss_hessian_sqrt(likelihood, out)            # (M, C, C)
         cots = jnp.moveaxis(S, -1, 0)                      # (C, M, C)
         B = accumulate_B(cots)
+    elif fisher_type == "type-2-sketch":
+        # exact sqrt columns, k random combinations (see _sketch_projection)
+        S = loss_hessian_sqrt(likelihood, out)            # (M, C, C)
+        P = _sketch_projection(seed, S.shape[-1], sketch_size, out.dtype)
+        cots = jnp.einsum("mcd,dk->kmc", S, P)            # (k, M, C)
+        B = accumulate_B(cots)
     elif fisher_type == "type-2-fork":
         # EXACT reproduction of the reference fork's TYPE2: it backwards
         # (output * S[:, :, c]).sum() with a NON-detached S
@@ -345,7 +376,7 @@ def compute_kfac_factors(model, params, X, y, likelihood: str,
     if uncovered:
         diags = _mixed_diag_blocks(model, w, frozen, X, y, out, uncovered,
                                    fisher_type, likelihood, mc_samples,
-                                   seed, lossfunc)
+                                   seed, lossfunc, sketch_size=sketch_size)
         for slot, (leaf_name, _) in zip(slots, uncovered):
             kfacs[slot] = [diags[leaf_name]]
     kron = Kron(kfacs)
@@ -369,13 +400,14 @@ class KFACOperator:
                  kfac_approx: str = "expand", exclude=DEFAULT_EXCLUDE,
                  last_layer: bool = False, N: Optional[int] = None,
                  seed: int = 0, check_deterministic: bool = False,
-                 mixed_diag: bool = False):
+                 mixed_diag: bool = False, sketch_size: int = 8):
         self.model = model
         self.params = params
         self.data = list(data) if data is not None else None
         self.likelihood = likelihood
         self.fisher_type = fisher_type
         self.mc_samples = mc_samples
+        self.sketch_size = sketch_size
         self.kfac_approx = kfac_approx
         self.exclude = exclude
         self.last_layer = last_layer
@@ -419,7 +451,8 @@ class KFACOperator:
                     fisher_type=self.fisher_type, mc_samples=self.mc_samples,
                     kfac_approx=self.kfac_approx, exclude=self.exclude,
                     last_layer=self.last_layer, N=self.N,
-                    seed=self.seed + i, mixed_diag=self.mixed_diag)
+                    seed=self.seed + i, mixed_diag=self.mixed_diag,
+                    sketch_size=self.sketch_size)
                 total = k if total is None else total + k
             self._kron = total
         return self._kron

@@ -58,7 +58,9 @@ def make_neg_marglik_fn(model, likelihood: str, hessian_structure: str,
                         sigma_noise: float = 1.0,
                         cache_static_factors: bool = True,
                         fisher_type: str = "type-2",
-                        column_chunk=None) -> Callable:
+                        column_chunk=None,
+                        sketch_size: int = 8,
+                        fisher_seed: int = 0) -> Callable:
     """Pure differentiable -log marglik of a freshly fit Laplace
     approximation, as a function of the *full* parameter pytree (gradients
     flow into params['adj'] through the KFAC factors).
@@ -189,7 +191,9 @@ def make_neg_marglik_fn(model, likelihood: str, hessian_structure: str,
                              last_layer=(subset_of_weights == "last_layer"))
         if hessian_structure == "kron":
             loss, H = backend.kron(X, y, N=N, fisher_type=fisher_type,
-                                   column_chunk=column_chunk)
+                                   column_chunk=column_chunk,
+                                   sketch_size=sketch_size,
+                                   seed=fisher_seed)
         else:
             closure = {"diag": backend.diag,
                        "full": backend.full}[hessian_structure]

@@ -58,14 +58,45 @@ def main():
     # amortize the random access (longer contiguous rows) and bf16
     # aggregation halves the bytes; both exact-or-bounded (bf16 rounds the
     # gather intermediates only; factors accumulate in f32).
-    all_configs = [("mc", None, None), ("type-2", 2, None),
-                   ("type-2", 4, None), ("type-2", 4, "bfloat16"),
-                   ("type-2", 8, "bfloat16"), ("type-2", 40, "bfloat16")]
+    # (fisher_type, column_chunk, agg_dtype, sketch_size); type-2-sketch =
+    # exact loss-Hessian sqrt columns projected onto k Rademacher
+    # combinations (unbiased, rel. variance ~1/k) -> k pullbacks instead of C
+    all_configs = [("mc", None, None, None), ("type-2", 2, None, None),
+                   ("type-2", 4, None, None), ("type-2", 4, "bfloat16", None),
+                   ("type-2", 8, "bfloat16", None),
+                   ("type-2", 40, "bfloat16", None),
+                   ("type-2-sketch", None, None, 8),
+                   ("type-2-sketch", None, "bfloat16", 8),
+                   ("type-2-sketch", None, "bfloat16", 16)]
     # --config k runs ONE config (fresh process per config: a faulted TPU
-    # program poisons the runtime session for everything after it)
+    # program poisons the runtime session for everything after it);
+    # 'err' instead quantifies the sketch estimator's deviation from exact
+    # type-2 on the marglik value and its log-prior gradient
+    if len(sys.argv) > 4 and sys.argv[4] == "err":
+        def vg_for(fisher, sketch, seed=0):
+            def nm(lp, p):
+                fn = make_neg_marglik_fn(
+                    model, "classification", "kron", "all", N=N,
+                    fisher_type=fisher, column_chunk=2,
+                    sketch_size=sketch or 8, fisher_seed=seed,
+                    prior_precision=jnp.exp(lp))
+                return fn(p, None, y)
+            return jax.jit(jax.value_and_grad(nm))
+
+        v0, g0 = map(float, vg_for("type-2", None)(jnp.float32(0), params))
+        print(f"exact type-2: neg_marglik={v0:.4f} d/dlogprior={g0:.4f}",
+              flush=True)
+        for k in (8, 16):
+            for seed in range(3):
+                fn2 = vg_for("type-2-sketch", k, seed)
+                v, g = map(float, fn2(jnp.float32(0), params))
+                print(f"sketch k={k} seed={seed}: rel_dv="
+                      f"{abs(v - v0) / abs(v0):.3e} "
+                      f"rel_dg={abs(g - g0) / abs(g0):.3e}", flush=True)
+        return
     if len(sys.argv) > 4:
         all_configs = [all_configs[int(sys.argv[4])]]
-    for fisher, chunk, agg in all_configs:
+    for fisher, chunk, agg, sketch in all_configs:
         gm = g if agg is None else dataclasses.replace(g, agg_dtype=agg)
         model = SparseGCN(D, HIDDEN, C, 2, X, gm, dropout_p=0.0)
 
@@ -73,10 +104,14 @@ def main():
             fn = make_neg_marglik_fn(
                 model, "classification", "kron", "all", N=N,
                 fisher_type=fisher, column_chunk=chunk,
+                sketch_size=sketch or 8,
                 prior_precision=jnp.exp(lp))
             return fn(params, None, y)
 
-        vg = jax.value_and_grad(nm_of_logprior)
+        # jit: calling the value_and_grad eagerly would dispatch the N=169k
+        # program primitive-by-primitive through the device tunnel (each op
+        # separately compiled — measured: minutes instead of milliseconds)
+        vg = jax.jit(jax.value_and_grad(nm_of_logprior))
 
         @jax.jit
         def loop(params, K):
@@ -92,7 +127,8 @@ def main():
             return acc
 
         K = 5 if fisher == "type-2" else 40
-        tag = f"{fisher} chunk={chunk} agg={agg or 'f32'}"
+        tag = f"{fisher} chunk={chunk} agg={agg or 'f32'}" + (
+            f" k={sketch}" if sketch else "")
         try:
             t0 = time.perf_counter()
             jax.block_until_ready(loop(params, jnp.asarray(1)))

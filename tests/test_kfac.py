@@ -225,7 +225,63 @@ def test_mixed_diag_kfac_for_gat_matches_exact_ggn_diag():
     assert n_diag >= 4  # att_src/att_dst (+ biases) across the two convs
 
 
-@pytest.mark.parametrize("fisher_type", ["empirical", "mc", "forward-only"])
+def test_type2_sketch_unbiased_and_deterministic():
+    """type-2-sketch: seed-averaged B converges to the exact type-2 B
+    (unbiased Rademacher projection of the loss-Hessian sqrt columns);
+    A factors are untouched; a fixed seed reproduces bit-identically."""
+    model, params, X, y = setup("classification", M=8, seed=1)
+    kt2 = compute_kfac_factors(model, params, X, y, "classification",
+                               fisher_type="type-2", N=8)
+
+    def one(seed):
+        return compute_kfac_factors(
+            model, params, X, y, "classification",
+            fisher_type="type-2-sketch", sketch_size=4, seed=seed, N=8)
+
+    ks = [one(s) for s in range(150)]
+    for i, g2 in enumerate(kt2.kfacs):
+        Bbar = np.mean([np.asarray(k.kfacs[i][0]) for k in ks], axis=0)
+        np.testing.assert_allclose(Bbar, np.asarray(g2[0]),
+                                   atol=0.05, rtol=0.15)
+        if len(g2) == 2:  # A exact for every seed
+            np.testing.assert_allclose(np.asarray(ks[0].kfacs[i][1]),
+                                       np.asarray(g2[1]), atol=1e-12)
+    # determinism at fixed seed
+    ka, kb = one(7), one(7)
+    for ga, gb in zip(ka.kfacs, kb.kfacs):
+        for fa, fb in zip(ga, gb):
+            np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+
+
+def test_type2_sketch_differentiable_wrt_adjacency():
+    """The sketch keeps the flagship property: fixed-seed randomness enters
+    linearly through exact sqrt columns, so the factors stay smooth in the
+    adjacency and the marglik hyperstep can run on k << C pullbacks."""
+    from laplace_gnn_tpu.models import STEGCN
+    key = jax.random.PRNGKey(0)
+    Xf = jax.random.normal(key, (8, D))
+    a = (jax.random.uniform(jax.random.PRNGKey(1), (8, 8)) < 0.4) * 1.0
+    adj = jnp.minimum(a + a.T, 1.0)
+    model = STEGCN(D, H, C, 2, Xf, adj)
+    params = model.init(jax.random.PRNGKey(2))
+    idx = jnp.arange(8)
+    y = jax.random.randint(jax.random.PRNGKey(3), (8,), 0, C)
+
+    def scalar_of_factors(p):
+        kron = compute_kfac_factors(model, p, idx, y, "classification", N=8,
+                                    fisher_type="type-2-sketch",
+                                    sketch_size=2, seed=3)
+        return sum(jnp.sum(F) for g in kron.kfacs for F in g)
+
+    g = jax.grad(scalar_of_factors)(params)
+    for _, leaf in named_leaves(g):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+    assert np.abs(np.asarray(g["adj"])).sum() > 0
+
+
+@pytest.mark.parametrize("fisher_type",
+                         ["empirical", "mc", "forward-only",
+                          "type-2-sketch"])
 @pytest.mark.slow
 def test_mixed_diag_other_fisher_types_finite(fisher_type):
     """Mixed diag blocks follow the requested Fisher semantics and stay
