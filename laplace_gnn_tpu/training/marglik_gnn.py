@@ -266,7 +266,7 @@ def _build_training_programs(model, params, *, lr, weight_decay, lr_adj,
                              weight_decay_adj, momentum_adj, grad_norm,
                              hessian_structure, subset_of_weights,
                              prior_precision, N, model_type,
-                             fisher_type="type-2"):
+                             fisher_type="type-2", sketch_size=8):
     """Optimizers + the four jitted programs of the eager marglik loop."""
     # PATIENCE and the params tree structure are baked into the compiled
     # closures (masks are built from this params pytree), so both belong in
@@ -275,7 +275,7 @@ def _build_training_programs(model, params, *, lr, weight_decay, lr_adj,
     key = _static_key("eager", lr, weight_decay, lr_adj, weight_decay_adj,
                       momentum_adj, grad_norm, hessian_structure,
                       subset_of_weights, prior_precision, N, model_type,
-                      fisher_type,
+                      fisher_type, sketch_size,
                       PATIENCE, jax.tree_util.tree_structure(params))
     cache = _model_program_cache(model)
     if key is not None and key in cache:
@@ -294,7 +294,7 @@ def _build_training_programs(model, params, *, lr, weight_decay, lr_adj,
         adj_mask)
     neg_marglik_fn = make_neg_marglik_fn(
         model, "classification", hessian_structure, subset_of_weights, N,
-        prior_precision, fisher_type=fisher_type)
+        prior_precision, fisher_type=fisher_type, sketch_size=sketch_size)
 
     @jax.jit
     def train_step(params, opt_state, idx, yy, rng):
@@ -376,6 +376,7 @@ def marglik_optimization(model, params,
                          early_stop: bool = False,
                          model_type: str = "stegcn",
                          fisher_type: str = "type-2",
+                         sketch_size: int = 8,
                          learned_graphs_dir: Optional[str] = None,
                          verbose: bool = True,
                          log_every: int = 20):
@@ -407,7 +408,8 @@ def marglik_optimization(model, params,
         weight_decay_adj=weight_decay_adj, momentum_adj=momentum_adj,
         grad_norm=grad_norm, hessian_structure=hessian_structure,
         subset_of_weights=subset_of_weights, prior_precision=prior_precision,
-        N=N, model_type=model_type, fisher_type=fisher_type)
+        N=N, model_type=model_type, fisher_type=fisher_type,
+        sketch_size=sketch_size)
     train_step = progs["train_step"]
     hyperstep = progs["hyperstep"]
     neg_marglik_eval = progs["neg_marglik_eval"]
@@ -590,6 +592,7 @@ def marglik_optimization_scan(model, params,
                               early_stop: bool = False,
                               model_type: str = "stegcn",
                               fisher_type: str = "type-2",
+                              sketch_size: int = 8,
                               learned_graphs_dir: Optional[str] = None,
                               y=None):
     """TPU-throughput variant of :func:`marglik_optimization`: the ENTIRE
@@ -636,7 +639,8 @@ def marglik_optimization_scan(model, params,
         hessian_structure=hessian_structure,
         prior_precision=prior_precision, grad_norm=grad_norm,
         early_stop=early_stop, model_type=model_type, N=N,
-        fisher_type=fisher_type, snapshots=snapshots)
+        fisher_type=fisher_type, sketch_size=sketch_size,
+        snapshots=snapshots)
 
     params_final, traces, best, snaps = run(
         params, train_indices, train_labels, val_indices, val_labels)
@@ -688,7 +692,7 @@ def _build_scan_run(model, params, *, lr, lr_adj, weight_decay,
                     n_epochs_burnin, n_hyper_stop, marglik_frequency,
                     subset_of_weights, hessian_structure, prior_precision,
                     grad_norm, early_stop, model_type, N,
-                    fisher_type="type-2", snapshots=False):
+                    fisher_type="type-2", sketch_size=8, snapshots=False):
     """The whole-training jitted program of
     :func:`marglik_optimization_scan`, cached per model x static config with
     the split data as traced arguments. Re-tracing this program costs ~2 s
@@ -699,7 +703,8 @@ def _build_scan_run(model, params, *, lr, lr_adj, weight_decay,
                       momentum_adj, n_epochs, n_hypersteps, n_epochs_burnin,
                       n_hyper_stop, marglik_frequency, subset_of_weights,
                       hessian_structure, prior_precision, grad_norm,
-                      early_stop, model_type, N, fisher_type, snapshots,
+                      early_stop, model_type, N, fisher_type, sketch_size,
+                      snapshots,
                       PATIENCE, jax.tree_util.tree_structure(params))
     cache = _model_program_cache(model)
     if key is not None and key in cache:
@@ -720,7 +725,7 @@ def _build_scan_run(model, params, *, lr, lr_adj, weight_decay,
         adj_mask)
     neg_marglik_fn = make_neg_marglik_fn(
         model, "classification", hessian_structure, subset_of_weights, N,
-        prior_precision, fisher_type=fisher_type)
+        prior_precision, fisher_type=fisher_type, sketch_size=sketch_size)
 
     def train_step(params, wstate, tr_idx, tr_y, rng):
         def obj(p):
