@@ -209,16 +209,25 @@ class GGNBackend(CurvatureBackend):
     """GGN / type-2 Fisher backend (reference GGNInterface + CurvlinopsGGN).
 
     With ``stochastic=True`` uses MC Fisher (laplace/curvature/curvlinops.py:160).
+    ``fisher_type`` overrides the kron Fisher flavor directly (e.g.
+    'type-2-sketch' with ``sketch_size`` — see curvature/kfac.py), so the
+    Laplace classes reach every flavor through ``backend_kwargs``.
     """
 
     def __init__(self, *args, stochastic: bool = False, mc_samples: int = 1,
-                 **kwargs):
+                 fisher_type: Optional[str] = None, sketch_size: int = 8,
+                 seed: int = 0, **kwargs):
         self.stochastic = stochastic
         self.mc_samples = mc_samples
+        self.fisher_type = fisher_type
+        self.sketch_size = sketch_size
+        self.seed = seed
         super().__init__(*args, **kwargs)
 
     @property
     def _kron_fisher_type(self):
+        if self.fisher_type is not None:
+            return self.fisher_type
         return "mc" if self.stochastic else "type-2"
 
     def _functional_middle(self, f, key=None):
@@ -331,6 +340,8 @@ class GGNBackend(CurvatureBackend):
 
     def kron(self, X, y, N, **kw):
         kw.setdefault("mc_samples", self.mc_samples)
+        kw.setdefault("sketch_size", self.sketch_size)
+        kw.setdefault("seed", self.seed)
         return self._kron(X, y, N, **kw)
 
 

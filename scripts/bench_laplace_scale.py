@@ -67,7 +67,8 @@ def main():
                    ("type-2", 40, "bfloat16", None),
                    ("type-2-sketch", None, None, 8),
                    ("type-2-sketch", None, "bfloat16", 8),
-                   ("type-2-sketch", None, "bfloat16", 16)]
+                   ("type-2-sketch", None, "bfloat16", 16),
+                   ("mc", None, "bfloat16", None)]
     # --config k runs ONE config (fresh process per config: a faulted TPU
     # program poisons the runtime session for everything after it);
     # 'err' instead quantifies the sketch estimator's deviation from exact

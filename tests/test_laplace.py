@@ -292,6 +292,28 @@ def test_backend_choices():
     assert np.isfinite(float(la.log_marginal_likelihood()))
 
 
+def test_kron_laplace_sketch_backend():
+    """type-2-sketch reaches the Laplace classes through backend_kwargs and
+    seed-averaged fits converge to the exact type-2 marglik."""
+    model, params, X, y, loader = setup("classification")
+    la0 = KronLaplace(model, params, "classification")
+    la0.fit(loader)
+    lm0 = float(la0.log_marginal_likelihood())
+
+    lms = []
+    for seed in range(40):
+        la = KronLaplace(
+            model, params, "classification",
+            backend_kwargs={"fisher_type": "type-2-sketch",
+                            "sketch_size": 4, "seed": seed})
+        la.fit(loader)
+        lms.append(float(la.log_marginal_likelihood()))
+    assert np.all(np.isfinite(lms))
+    # log marglik is nonlinear in B so the mean is only approximately
+    # unbiased — but 40 seeds at k=4 must land well inside a few percent
+    assert abs(np.mean(lms) - lm0) < 0.05 * abs(lm0)
+
+
 @pytest.mark.slow
 def test_reward_modeling_fit_classification_predict_regression():
     # Bradley-Terry reward model (reference examples/reward_modeling_
