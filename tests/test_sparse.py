@@ -152,6 +152,46 @@ def test_fast_agg_in_sparse_gcn_hyperstep(karate):
     assert np.isfinite(np.asarray(kron.to_matrix()).sum())
 
 
+def test_bf16_agg_type2_chunked_marglik_close_to_f32(karate):
+    """bf16 gather intermediates under the chunked type-2 pullbacks only
+    round the aggregation (factors accumulate f32): marglik value and its
+    gradient stay within bf16 tolerance of the f32 path."""
+    import dataclasses
+
+    from laplace_gnn_tpu.models.sparse_gnn import SparseGCN
+    from laplace_gnn_tpu.training.marglik_gnn import make_neg_marglik_fn
+    d = karate
+    g = add_ell_format(
+        sparse_from_edge_index(d.edge_index, d.num_nodes, normalize="sym",
+                               dtype=jnp.float32))
+    X = jax.random.normal(jax.random.PRNGKey(0), (d.num_nodes, 6),
+                          dtype=jnp.float32)
+    y = jnp.asarray(np.asarray(d.y) % 2)
+    vals = {}
+    for tag in ("float32", "bfloat16"):
+        gg = dataclasses.replace(g, agg_dtype=tag)
+        model = SparseGCN(6, 8, 2, 2, X, gg, dropout_p=0.0)
+        params = model.init(jax.random.PRNGKey(1), dtype=jnp.float32)
+        fn = make_neg_marglik_fn(model, "classification", "kron", "all",
+                                 N=d.num_nodes, fisher_type="type-2",
+                                 column_chunk=1)
+        v, gr = jax.value_and_grad(fn)(params, None, y)
+        vals[tag] = (float(v), gr)
+    v32, g32 = vals["float32"]
+    v16, g16 = vals["bfloat16"]
+    assert abs(v16 - v32) < 2e-2 * abs(v32)
+    for (n32, l32), (_, l16) in zip(
+            sorted((k, v) for k, v in _named(g32)),
+            sorted((k, v) for k, v in _named(g16))):
+        np.testing.assert_allclose(np.asarray(l16), np.asarray(l32),
+                                   atol=5e-2, rtol=5e-2, err_msg=n32)
+
+
+def _named(tree):
+    from laplace_gnn_tpu.utils import named_leaves
+    return named_leaves(tree)
+
+
 def test_row_normalization_mean_agg(karate):
     d = karate
     g = sparse_from_edge_index(d.edge_index, d.num_nodes, normalize="row",
