@@ -436,6 +436,13 @@ def main():
     if os.path.exists(gat_fn):
         with open(gat_fn) as f:
             extras["gat_scale_recorded"] = json.load(f)
+    # Laplace-at-scale sweep (scripts/bench_laplace_scale.py): exact type-2
+    # vs sketch vs MC at ogbn-arxiv scale, recorded the same way
+    ls_fn = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_LAPLACE_SCALE.json")
+    if os.path.exists(ls_fn):
+        with open(ls_fn) as f:
+            extras["laplace_scale_recorded"] = json.load(f)
     print(json.dumps({
         "metric": "marglik_hyperstep_ms",
         "value": round(t_hyper * 1e3, 3),

@@ -68,7 +68,13 @@ def main():
                    ("type-2-sketch", None, None, 8),
                    ("type-2-sketch", None, "bfloat16", 8),
                    ("type-2-sketch", None, "bfloat16", 16),
-                   ("mc", None, "bfloat16", None)]
+                   ("mc", None, "bfloat16", None),
+                   # chunked sketches: unchunked folds k*h-wide gather rows
+                   # (k=8 f32 = 12.5 GB intermediates -> compile OOM above)
+                   ("type-2-sketch", 4, "bfloat16", 8),
+                   ("type-2-sketch", 8, "bfloat16", 16),
+                   ("type-2-sketch", 4, None, 8),
+                   ("type-2-sketch", 2, "bfloat16", 4)]
     # --config k runs ONE config (fresh process per config: a faulted TPU
     # program poisons the runtime session for everything after it);
     # 'err' instead quantifies the sketch estimator's deviation from exact

@@ -5,7 +5,9 @@ real TPU for the 'segment' (scatter-add) and 'ell' (gather-einsum) formats.
 Chained-fori_loop timing per BENCH_NOTES (no device->host fetch until all
 clocks stop).
 
-Usage: python scripts/bench_sparse.py [N] [avg_deg] [hidden]
+Usage: python scripts/bench_sparse.py [N] [avg_deg] [hidden] [model]
+(model: gcn | gat — gat runs the edge-parallel segment softmax attention,
+a workload the reference's dense (N, N, heads) layout cannot represent)
 """
 
 import os
@@ -19,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 169_343
 AVG_DEG = int(sys.argv[2]) if len(sys.argv) > 2 else 7
 HIDDEN = int(sys.argv[3]) if len(sys.argv) > 3 else 256
+MODEL = sys.argv[4] if len(sys.argv) > 4 else "gcn"
 D, C, LAYERS = 128, 40, 3
 
 
@@ -34,7 +37,7 @@ def main():
 
     from laplace_gnn_tpu.graph.container import (add_ell_format,
                                                  sparse_from_edge_index)
-    from laplace_gnn_tpu.models.sparse_gnn import SparseGCN
+    from laplace_gnn_tpu.models.sparse_gnn import SparseGAT, SparseGCN
     from laplace_gnn_tpu.curvature.losses import cross_entropy_sum
 
     rng = np.random.default_rng(0)
@@ -50,20 +53,33 @@ def main():
     log(f"N={N} E={n_edges} hidden={HIDDEN} layers={LAYERS}")
 
     import dataclasses
-    g_ell = add_ell_format(g_seg)
-    variants = {
-        "segment": g_seg,
-        "segment_bf16": dataclasses.replace(g_seg, agg_dtype="bfloat16"),
-        "ell": g_ell,
-        "ell_bf16": dataclasses.replace(g_ell, agg_dtype="bfloat16"),
-    }
+    if MODEL == "gat":
+        # per-edge segment softmax (no N x N score matrix — the reference
+        # materializes (N, N, heads), gnn/models/layers.py:101-124, which
+        # at this N would be 917 GB/head); attention normalizes itself
+        g_gat = sparse_from_edge_index(ei, N, normalize=None, fmt="segment",
+                                       dtype=jnp.float32)
+        variants = {f"gat_h{h}": (g_gat, h) for h in (1, 4, 8)}
+    else:
+        g_ell = add_ell_format(g_seg)
+        variants = {
+            "segment": g_seg,
+            "segment_bf16": dataclasses.replace(g_seg, agg_dtype="bfloat16"),
+            "ell": g_ell,
+            "ell_bf16": dataclasses.replace(g_ell, agg_dtype="bfloat16"),
+        }
     for fmt, g in variants.items():
-        if g.ell_cols is not None:
-            log(f"{fmt}: K={g.ell_cols.shape[1]} "
-                f"padding={g.ell_cols.size / n_edges:.2f}x "
-                f"remainder={int(g.rem_src.shape[0])}")
-        model = SparseGCN(D, HIDDEN, C, LAYERS, jnp.asarray(X), g,
-                          dropout_p=0.0)
+        if MODEL == "gat":
+            g, heads = g
+            model = SparseGAT(D, HIDDEN, C, LAYERS, jnp.asarray(X), g,
+                              heads=heads, concat=True, dropout_p=0.0)
+        else:
+            if g.ell_cols is not None:
+                log(f"{fmt}: K={g.ell_cols.shape[1]} "
+                    f"padding={g.ell_cols.size / n_edges:.2f}x "
+                    f"remainder={int(g.rem_src.shape[0])}")
+            model = SparseGCN(D, HIDDEN, C, LAYERS, jnp.asarray(X), g,
+                              dropout_p=0.0)
         params = model.init(jax.random.PRNGKey(0), dtype=jnp.float32)
 
         @jax.jit
