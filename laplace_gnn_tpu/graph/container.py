@@ -325,6 +325,232 @@ class FastAggGraph:
         return self.spmm(x)
 
 
+@dataclass(frozen=True)
+class EllEdgeSlots:
+    """Static edge -> ELL-slot mapping for RUNTIME per-edge coefficients.
+
+    The ELL layout of a :class:`SparseGraph` (level-0 table, compacted
+    overflow levels, COO remainder) is determined purely by the edge
+    *structure*; the packed values are a static scatter of the per-edge
+    weights. This dataclass records, for each tier, which edges (indices
+    into the graph's dst-sorted edge order) land in which (row, pos) slot —
+    so traced per-edge quantities (GAT attention coefficients) can be
+    scattered into the same layout and aggregated on the gather/einsum fast
+    path instead of the ~2x-slower per-edge segment scatter (BENCH_NOTES).
+    ``levels`` holds (edge_idx, row, pos) triples per compacted level;
+    ``rem_edge_idx`` indexes the remainder edges in their packed order.
+    All arrays are NUMPY (static trace-constants — see ell_edge_slots)."""
+    ell0_edge_idx: np.ndarray       # (n0,) edge indices landing in level 0
+    ell0_row: np.ndarray            # (n0,) == dst of those edges
+    ell0_pos: np.ndarray            # (n0,) slot within the row
+    levels: tuple                   # ((edge_idx, row, pos), ...) per level
+    rem_edge_idx: np.ndarray        # (n_rem,)
+
+
+def ell_edge_slots(g: SparseGraph) -> EllEdgeSlots:
+    """Recompute the deterministic edge->slot assignment of
+    :func:`add_ell_format` (level-0 first-K-per-row, then per-level
+    max-coverage packing of the dst-sorted tail) as static index arrays.
+    Verified against the packed weights in tests/test_sparse.py."""
+    if g.format != "ell" or g.ell_cols is None:
+        raise ValueError("graph has no ELL format (use add_ell_format)")
+    if not g.dst_sorted:
+        raise ValueError("ELL slot mapping requires dst-sorted edges")
+    dst = np.asarray(g.dst)
+    n = g.n_nodes
+    counts = np.bincount(dst, minlength=n)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    e_idx = np.arange(len(dst))
+    pos = e_idx - offsets[dst]
+    K0 = int(g.ell_cols.shape[1])
+    sel = pos < K0
+    ell0 = (e_idx[sel], dst[sel].astype(np.int32),
+            pos[sel].astype(np.int32))
+    rs_idx, rd = e_idx[~sel], dst[~sel]
+    levels = []
+    for rows_l, cols_l, _vals_l in g.ell_levels:
+        Kl = int(cols_l.shape[1])
+        rows_u, start = np.unique(rd, return_index=True)
+        counts_l = np.diff(np.append(start, len(rd)))
+        if not np.array_equal(rows_u.astype(np.int32),
+                              np.asarray(rows_l)):
+            raise AssertionError("ELL level rows mismatch — packing drifted")
+        posl = np.arange(len(rd)) - np.repeat(start, counts_l)
+        sell = posl < Kl
+        row_of_edge = np.repeat(np.arange(len(rows_u)), counts_l)
+        # slots stay NUMPY: this routine may run lazily inside a jit trace
+        # (first model application), and jnp.asarray there would return
+        # tracers — caching those on the graph wrapper leaks them out of
+        # the trace. Numpy index arrays are safe trace-constants.
+        levels.append((rs_idx[sell].astype(np.int32),
+                       row_of_edge[sell].astype(np.int32),
+                       posl[sell].astype(np.int32)))
+        rs_idx, rd = rs_idx[~sell], rd[~sell]
+    return EllEdgeSlots(ell0_edge_idx=ell0[0].astype(np.int32),
+                        ell0_row=ell0[1],
+                        ell0_pos=ell0[2],
+                        levels=tuple(levels),
+                        rem_edge_idx=rs_idx.astype(np.int32))
+
+
+def ell_aggregate_edge_coeff(g: SparseGraph, slots: EllEdgeSlots,
+                             coeff: jnp.ndarray,
+                             h: jnp.ndarray) -> jnp.ndarray:
+    """out[i, head] = sum_{e: dst_e = i} coeff[e, head] * h[src_e, head]
+    via the multi-level ELL gather path with RUNTIME coefficients.
+
+    ``coeff``: (E, H) in the graph's dst-sorted edge order; ``h``: (N, H, F).
+    This is the GAT message aggregation (sparse_gnn.py edge softmax) as a
+    per-head SpMM: the (E, H, F) message traffic — the throughput limiter —
+    rides the padded gather/einsum formulation (measured 1.7-2.3x over the
+    per-edge segment scatter at arxiv scale, BENCH_NOTES), with
+    ``g.agg_dtype`` (bf16) halving the gathered bytes. Pads carry
+    coefficient 0 so they are exact no-ops."""
+    n, H, F = h.shape
+    in_dtype = h.dtype
+    agg = jnp.dtype(g.agg_dtype) if g.agg_dtype is not None else in_dtype
+    h2 = h.reshape(n, H * F).astype(agg)
+    cf = coeff.astype(agg)
+    K0 = g.ell_cols.shape[1]
+    vals0 = jnp.zeros((n, K0, H), agg)
+    vals0 = vals0.at[slots.ell0_row, slots.ell0_pos].set(
+        cf[slots.ell0_edge_idx], unique_indices=True,
+        indices_are_sorted=True)
+    gathered = h2[g.ell_cols].reshape(n, K0, H, F)
+    out = jnp.einsum("nkh,nkhf->nhf", vals0, gathered)
+    for (rows_l, cols_l, _v), (eidx, row_l, pos_l) in zip(g.ell_levels,
+                                                          slots.levels):
+        nl, Kl = cols_l.shape
+        vals_l = jnp.zeros((nl, Kl, H), agg)
+        vals_l = vals_l.at[row_l, pos_l].set(cf[eidx], unique_indices=True,
+                                             indices_are_sorted=True)
+        gl = h2[cols_l].reshape(nl, Kl, H, F)
+        part = jnp.einsum("nkh,nkhf->nhf", vals_l, gl)
+        out = out.at[rows_l].add(part, unique_indices=True,
+                                 indices_are_sorted=True)
+    if slots.rem_edge_idx.shape[0] > 0:
+        msgs = cf[slots.rem_edge_idx][:, :, None] * h2.reshape(
+            n, H, F)[g.rem_src]
+        out = out + jax.ops.segment_sum(msgs, g.rem_dst,
+                                        num_segments=n,
+                                        indices_are_sorted=True)
+    return out.astype(in_dtype)
+
+
+def ell_gat_layout(g: SparseGraph):
+    """Static pad masks for the all-ELL GAT attention formulation
+    (:func:`ell_gat_attention`): a bool validity mask per ELL tier, built
+    host-side from the same deterministic packing as
+    :func:`ell_edge_slots`. Returned as numpy (trace-safe constants)."""
+    slots = ell_edge_slots(g)
+    n, K0 = g.ell_cols.shape
+    mask0 = np.zeros((n, K0), bool)
+    mask0[np.asarray(slots.ell0_row), np.asarray(slots.ell0_pos)] = True
+    level_masks = []
+    for (rows_l, cols_l, _v), (_e, row_l, pos_l) in zip(g.ell_levels,
+                                                        slots.levels):
+        ml = np.zeros(cols_l.shape, bool)
+        ml[np.asarray(row_l), np.asarray(pos_l)] = True
+        level_masks.append(ml)
+    return {"mask0": mask0, "level_masks": tuple(level_masks)}
+
+
+def ell_gat_attention(g: SparseGraph, layout: dict, h: jnp.ndarray,
+                      a_src: jnp.ndarray, a_dst: jnp.ndarray,
+                      negative_slope: float) -> jnp.ndarray:
+    """GAT edge-softmax + aggregation entirely in ELL layout.
+
+    out[i] = sum_{e: dst_e=i} softmax_e(leaky_relu(a_src[src_e]+a_dst[i]))
+             * h[src_e]
+
+    The per-edge formulation (sparse_gnn.py segment path) is
+    DESCRIPTOR-LIMITED three times over at scale: (E, H) gathers + two
+    segment reductions for the softmax (~44 ms at arxiv scale), a per-edge
+    coefficient scatter into the ELL tables (~75 ms), and the message
+    gather (~20 ms) — measured bisect in BENCH_NOTES r5. This formulation
+    replaces all per-edge traffic for ELL-resident edges with ONE fused
+    row gather: ``a_src`` is concatenated onto the feature rows, so the
+    (N, K, H*F + H) gather simultaneously fetches messages and score
+    material; the masked softmax then runs as dense (N, K, H) VPU work
+    over the padded axis (exact — pads carry -inf scores). Overflow
+    levels contribute via their own compact gathers; only the sub-0.5%
+    remainder tail still uses per-edge segment ops. ``g.agg_dtype``
+    (bf16) applies to the payload gather; the exp/denominator math runs
+    in f32.
+    """
+    n, H, F = h.shape
+    in_dtype = h.dtype
+    pd = jnp.dtype(g.agg_dtype) if g.agg_dtype is not None else in_dtype
+    HF = H * F
+    payload = jnp.concatenate([h.reshape(n, HF).astype(pd),
+                               a_src.astype(pd)], axis=1)   # (N, HF+H)
+    a_dst32 = a_dst.astype(jnp.float32)
+    neg_inf = jnp.float32(-jnp.inf)
+
+    def tier(cols, mask, rows=None):
+        """(gathered_msgs (R,K,H,F) in pd, scores (R,K,H) f32 masked)."""
+        Gp = payload[cols]                                  # (R, K, HF+H)
+        gh = Gp[..., :HF]
+        ga = Gp[..., HF:].astype(jnp.float32)               # (R, K, H)
+        ad = a_dst32 if rows is None else a_dst32[rows]
+        sc = jax.nn.leaky_relu(ga + ad[:, None, :], negative_slope)
+        sc = jnp.where(jnp.asarray(mask)[:, :, None], sc, neg_inf)
+        return gh, sc
+
+    gh0, sc0 = tier(g.ell_cols, layout["mask0"])
+    m = jnp.max(sc0, axis=1)                                # (N, H)
+    tiers = []
+    for (rows_l, cols_l, _v), mask_l in zip(g.ell_levels,
+                                            layout["level_masks"]):
+        gh_l, sc_l = tier(cols_l, mask_l, rows=rows_l)
+        tiers.append((rows_l, gh_l, sc_l))
+        m = m.at[rows_l].max(jnp.max(sc_l, axis=1),
+                             indices_are_sorted=True, unique_indices=True)
+    has_rem = g.rem_src is not None and int(g.rem_src.shape[0]) > 0
+    if has_rem:
+        a_src32 = a_src.astype(jnp.float32)
+        sc_r = jax.nn.leaky_relu(a_src32[g.rem_src] + a_dst32[g.rem_dst],
+                                 negative_slope)            # (Er, H)
+        m_r = jax.ops.segment_max(sc_r, g.rem_dst, num_segments=n,
+                                  indices_are_sorted=True)
+        m = jnp.maximum(m, m_r)
+    m = jnp.where(jnp.isfinite(m), m, 0.0)                  # isolated rows
+
+    ex0 = jnp.exp(sc0 - m[:, None, :])                      # pads: exp(-inf)=0
+    denom = jnp.sum(ex0, axis=1)                            # (N, H)
+    for rows_l, _gh, sc_l in tiers:
+        ex_l = jnp.exp(sc_l - m[rows_l][:, None, :])
+        denom = denom.at[rows_l].add(jnp.sum(ex_l, axis=1),
+                                     indices_are_sorted=True,
+                                     unique_indices=True)
+    if has_rem:
+        ex_r = jnp.exp(sc_r - m[g.rem_dst])
+        denom = denom + jax.ops.segment_sum(ex_r, g.rem_dst,
+                                            num_segments=n,
+                                            indices_are_sorted=True)
+    denom = jnp.maximum(denom, 1e-16)
+
+    def contract(gh, ex, dn):
+        alpha = (ex / dn[:, None, :]).astype(pd)            # (R, K, H)
+        R, K = alpha.shape[:2]
+        return jnp.sum(alpha[..., None]
+                       * gh.reshape(R, K, H, F), axis=1)    # (R, H, F)
+
+    out = contract(gh0, ex0, denom)
+    for rows_l, gh_l, sc_l in tiers:
+        ex_l = jnp.exp(sc_l - m[rows_l][:, None, :])
+        out = out.at[rows_l].add(contract(gh_l, ex_l, denom[rows_l]),
+                                 indices_are_sorted=True,
+                                 unique_indices=True)
+    if has_rem:
+        coeff_r = (ex_r / denom[g.rem_dst]).astype(pd)
+        msgs = coeff_r[:, :, None] * h.astype(pd)[g.rem_src]
+        out = out + jax.ops.segment_sum(msgs, g.rem_dst, num_segments=n,
+                                        indices_are_sorted=True
+                                        ).astype(out.dtype)
+    return out.astype(in_dtype)
+
+
 def _choose_budgeted_k(counts: np.ndarray, pad_budget: float,
                        total: int) -> int:
     """Neighbor-list width minimizing the modeled aggregation cost

@@ -95,19 +95,35 @@ class SparseGATConv:
             g = getattr(graph, "graph", graph)   # unwrap FastAggGraph
             a_src = jnp.sum(h * params["att_src"], axis=-1)      # (N, H)
             a_dst = jnp.sum(h * params["att_dst"], axis=-1)
-
-            src, dst = g.src, g.dst
-            scores = jax.nn.leaky_relu(a_src[src] + a_dst[dst],
-                                       self.negative_slope)      # (E, H)
-            smax = jax.ops.segment_max(scores, dst, num_segments=n,
-                                       indices_are_sorted=g.dst_sorted)
-            ex = jnp.exp(scores - smax[dst])
-            denom = jax.ops.segment_sum(ex, dst, num_segments=n,
-                                        indices_are_sorted=g.dst_sorted)
-            coeff = ex / jnp.maximum(denom[dst], 1e-16)          # (E, H)
-            msgs = coeff[:, :, None] * h[src]                    # (E, H, F)
-            out = jax.ops.segment_sum(msgs, dst, num_segments=n,
-                                      indices_are_sorted=g.dst_sorted)
+            if getattr(g, "format", None) == "ell" and \
+                    g.ell_cols is not None:
+                # all-ELL softmax + aggregation: one fused payload gather,
+                # no per-edge segment/scatter ops for ELL-resident edges
+                # (measured 4-5x over the per-edge path at arxiv scale,
+                # BENCH_NOTES r5)
+                from ..graph.container import (ell_gat_attention,
+                                               ell_gat_layout)
+                layout = getattr(graph, "_gat_layout", None)
+                if layout is None:
+                    layout = ell_gat_layout(g)
+                    if graph is not g:           # cache on the wrapper
+                        graph._gat_layout = layout
+                out = ell_gat_attention(g, layout, h, a_src, a_dst,
+                                        self.negative_slope)
+            else:
+                src, dst = g.src, g.dst
+                # the (E, H) softmax bookkeeping stays in full precision —
+                # it is small next to the (E, H, F) message traffic below
+                scores = jax.nn.leaky_relu(a_src[src] + a_dst[dst],
+                                           self.negative_slope)  # (E, H)
+                smax = jax.ops.segment_max(scores, dst, num_segments=n,
+                                           indices_are_sorted=g.dst_sorted)
+                ex = jnp.exp(scores - smax[dst])
+                denom = jax.ops.segment_sum(
+                    ex, dst, num_segments=n,
+                    indices_are_sorted=g.dst_sorted)
+                coeff = ex / jnp.maximum(denom[dst], 1e-16)      # (E, H)
+                out = self._aggregate_messages(graph, g, coeff, h)
         if self.concat:
             out = out.reshape(n, self.heads * self.out_channels)
         else:
@@ -115,6 +131,29 @@ class SparseGATConv:
         if self.use_bias:
             out = out + params["bias"]
         return out
+
+    @staticmethod
+    def _aggregate_messages(graph, g, coeff, h):
+        """The (E, H, F) message aggregation — the HBM-traffic limiter of
+        sparse GAT at scale. Rides the multi-level ELL gather path with
+        runtime coefficients when the graph carries one (measured win over
+        the per-edge segment scatter, BENCH_NOTES), honoring ``agg_dtype``
+        (bf16 message gathers) on either path."""
+        from ..graph.container import ell_aggregate_edge_coeff, ell_edge_slots
+        n = h.shape[0]
+        if getattr(g, "format", None) == "ell" and g.ell_cols is not None:
+            slots = getattr(graph, "_gat_slots", None)
+            if slots is None:
+                slots = ell_edge_slots(g)
+                if graph is not g:               # cache on the wrapper
+                    graph._gat_slots = slots
+            return ell_aggregate_edge_coeff(g, slots, coeff, h)
+        in_dtype = h.dtype
+        agg = jnp.dtype(g.agg_dtype) if g.agg_dtype is not None else in_dtype
+        msgs = coeff.astype(agg)[:, :, None] * h.astype(agg)[g.src]
+        out = jax.ops.segment_sum(msgs, g.dst, num_segments=n,
+                                  indices_are_sorted=g.dst_sorted)
+        return out.astype(in_dtype)
 
     def tap_sites(self) -> list:
         # The Linear transform is the only dense site; the attention

@@ -122,3 +122,138 @@ def test_sparse_gat_trains():
     for _ in range(60):
         params, l = step(params)
     assert float(l) < float(l0)
+
+
+# -- runtime-coefficient ELL aggregation (sparse GAT fast path) -------------
+
+def _skewed_graph(n=60, seed=5):
+    """Graph with a heavy-degree hub tail so a small-K ELL build produces
+    overflow levels AND a COO remainder."""
+    rng = np.random.default_rng(seed)
+    src, dst = [], []
+    for i in range(n):
+        deg = 1 + rng.integers(0, 4)
+        if i < 4:            # hubs
+            deg = n // 2
+        nbrs = rng.choice(n, size=deg, replace=False)
+        src.extend(nbrs)
+        dst.extend([i] * deg)
+    ei = np.stack([np.array(src), np.array(dst)])
+    return ei, n
+
+
+def test_ell_edge_slots_reconstruct_packed_weights():
+    from laplace_gnn_tpu.graph.container import (add_ell_format,
+                                                 ell_edge_slots,
+                                                 sparse_from_edge_index)
+    ei, n = _skewed_graph()
+    g = sparse_from_edge_index(ei, n, normalize="sym")
+    g = add_ell_format(g, max_k=2)       # force multi-level + remainder
+    assert len(g.ell_levels) >= 1
+    slots = ell_edge_slots(g)
+    w = np.asarray(g.weights)
+    # scattering the static weights through the slot map reproduces the
+    # packed tables bit-for-bit
+    vals0 = np.zeros_like(np.asarray(g.ell_vals))
+    vals0[np.asarray(slots.ell0_row), np.asarray(slots.ell0_pos)] = \
+        w[np.asarray(slots.ell0_edge_idx)]
+    np.testing.assert_array_equal(vals0, np.asarray(g.ell_vals))
+    for (rows_l, cols_l, vals_l), (eidx, row_l, pos_l) in zip(
+            g.ell_levels, slots.levels):
+        vl = np.zeros_like(np.asarray(vals_l))
+        vl[np.asarray(row_l), np.asarray(pos_l)] = w[np.asarray(eidx)]
+        np.testing.assert_array_equal(vl, np.asarray(vals_l))
+    np.testing.assert_array_equal(w[np.asarray(slots.rem_edge_idx)],
+                                  np.asarray(g.rem_w))
+    total = (slots.ell0_edge_idx.shape[0]
+             + sum(e.shape[0] for e, _, _ in slots.levels)
+             + slots.rem_edge_idx.shape[0])
+    assert total == g.n_edges
+
+
+def test_ell_aggregate_edge_coeff_matches_segment():
+    from laplace_gnn_tpu.graph.container import (add_ell_format,
+                                                 ell_aggregate_edge_coeff,
+                                                 ell_edge_slots,
+                                                 sparse_from_edge_index)
+    ei, n = _skewed_graph(seed=6)
+    g = sparse_from_edge_index(ei, n, normalize=None)
+    g = add_ell_format(g, max_k=2)
+    slots = ell_edge_slots(g)
+    rng = np.random.default_rng(0)
+    heads, feat = 3, 5
+    coeff = jnp.asarray(rng.standard_normal((g.n_edges, heads)),
+                        jnp.float32)
+    h = jnp.asarray(rng.standard_normal((n, heads, feat)), jnp.float32)
+    out = ell_aggregate_edge_coeff(g, slots, coeff, h)
+    msgs = coeff[:, :, None] * h[g.src]
+    ref = jax.ops.segment_sum(msgs, g.dst, num_segments=n,
+                              indices_are_sorted=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("agg_dtype", [None, "bfloat16"])
+def test_sparse_gat_ell_matches_segment_path(agg_dtype):
+    """SparseGAT forward on an ELL graph equals the per-edge segment path
+    (exact in f32; bf16 aggregation within bf16 tolerance)."""
+    import dataclasses
+    from laplace_gnn_tpu.graph.container import (add_ell_format,
+                                                 sparse_from_edge_index)
+    ei, n = _skewed_graph(seed=7)
+    X = np.random.default_rng(1).standard_normal((n, D))
+    g_seg = sparse_from_edge_index(ei, n, normalize=None)
+    g_ell = dataclasses.replace(add_ell_format(g_seg, max_k=2),
+                                agg_dtype=agg_dtype)
+    m_seg = SparseGAT(D, H, C, 2, jnp.asarray(X), g_seg, heads=2,
+                      dropout_p=0.0)
+    m_ell = SparseGAT(D, H, C, 2, jnp.asarray(X), g_ell, heads=2,
+                      dropout_p=0.0)
+    params = m_seg.init(jax.random.PRNGKey(0))
+    out_seg = m_seg.apply(params, jnp.arange(n))
+    out_ell = jax.jit(lambda p: m_ell.apply(p, jnp.arange(n)))(params)
+    if agg_dtype is None:
+        np.testing.assert_allclose(np.asarray(out_ell), np.asarray(out_seg),
+                                   rtol=1e-5, atol=1e-6)
+    else:
+        np.testing.assert_allclose(np.asarray(out_ell), np.asarray(out_seg),
+                                   rtol=0.05, atol=0.05)
+    # gradients flow through the runtime-coefficient path
+    y = jnp.asarray(np.random.default_rng(2).integers(0, C, n))
+    from laplace_gnn_tpu.curvature.losses import cross_entropy_sum
+
+    def obj(p, m):
+        return cross_entropy_sum(m.apply(p, jnp.arange(n)), y) / n
+
+    g_ell_grads = jax.grad(lambda p: obj(p, m_ell))(params)
+    g_seg_grads = jax.grad(lambda p: obj(p, m_seg))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ell_grads),
+                    jax.tree_util.tree_leaves(g_seg_grads)):
+        tol = 0.05 if agg_dtype else 1e-4
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=tol, atol=tol)
+
+
+@pytest.mark.slow
+def test_sparse_gat_ell_laplace_mixed_kron():
+    """Mixed-structure KFAC marglik through the ELL attention path stays
+    finite and close to the segment-path marglik."""
+    import dataclasses
+    from laplace_gnn_tpu.graph.container import (add_ell_format,
+                                                 sparse_from_edge_index)
+    ei, n = _skewed_graph(seed=8)
+    X = np.random.default_rng(3).standard_normal((n, D))
+    y = np.random.default_rng(4).integers(0, C, n)
+    g_seg = sparse_from_edge_index(ei, n, normalize=None)
+    g_ell = dataclasses.replace(add_ell_format(g_seg, max_k=2))
+    vals = {}
+    for name, g in (("seg", g_seg), ("ell", g_ell)):
+        model = SparseGAT(D, H, C, 2, jnp.asarray(X), g, heads=2,
+                          dropout_p=0.0)
+        params = model.init(jax.random.PRNGKey(0))
+        la = Laplace(model, params, "classification",
+                     subset_of_weights="all", hessian_structure="kron")
+        la.fit([(jnp.arange(n), jnp.asarray(y))])
+        vals[name] = float(la.log_marginal_likelihood())
+    assert np.isfinite(vals["ell"])
+    np.testing.assert_allclose(vals["ell"], vals["seg"], rtol=1e-4)
