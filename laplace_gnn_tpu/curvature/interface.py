@@ -182,7 +182,7 @@ class CurvatureBackend:
     def _kron(self, X, y, N: int, fisher_type: Optional[str] = None,
               mc_samples: int = 1, kfac_approx: str = "expand", seed: int = 0,
               column_chunk: Optional[int] = None, mixed_diag: bool = True,
-              sketch_size: int = 8):
+              sketch_size: int = 8, diag_probes: Optional[int] = None):
         """Shared KFAC path (laplace/curvature/curvlinops.py:77-108):
         compute factors on this batch, rescale A by M/N, multiply by factor.
 
@@ -197,7 +197,8 @@ class CurvatureBackend:
             mc_samples=mc_samples, kfac_approx=kfac_approx,
             exclude=self.exclude, last_layer=self.last_layer,
             N=N, seed=seed, return_output=True, column_chunk=column_chunk,
-            mixed_diag=mixed_diag, sketch_size=sketch_size)
+            mixed_diag=mixed_diag, sketch_size=sketch_size,
+            diag_probes=diag_probes)
         kron = kron * self.factor
         # reuse the factor-computation forward for the loss (one full-graph
         # forward total instead of three)
@@ -216,11 +217,15 @@ class GGNBackend(CurvatureBackend):
 
     def __init__(self, *args, stochastic: bool = False, mc_samples: int = 1,
                  fisher_type: Optional[str] = None, sketch_size: int = 8,
+                 column_chunk: Optional[int] = None,
+                 diag_probes: Optional[int] = None,
                  seed: int = 0, **kwargs):
         self.stochastic = stochastic
         self.mc_samples = mc_samples
         self.fisher_type = fisher_type
         self.sketch_size = sketch_size
+        self.column_chunk = column_chunk
+        self.diag_probes = diag_probes
         self.seed = seed
         super().__init__(*args, **kwargs)
 
@@ -341,6 +346,8 @@ class GGNBackend(CurvatureBackend):
     def kron(self, X, y, N, **kw):
         kw.setdefault("mc_samples", self.mc_samples)
         kw.setdefault("sketch_size", self.sketch_size)
+        kw.setdefault("column_chunk", self.column_chunk)
+        kw.setdefault("diag_probes", self.diag_probes)
         kw.setdefault("seed", self.seed)
         return self._kron(X, y, N, **kw)
 

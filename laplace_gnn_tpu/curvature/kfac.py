@@ -57,8 +57,13 @@ def _sketch_projection(seed: int, C: int, k: int, dtype):
     predictive, curvlinops/kfac.py:698-746) the randomness here enters
     linearly through fixed exact columns, so a fixed seed yields a smooth,
     deterministic surrogate the marglik hyperstep can differentiate."""
+    # build P and the 1/sqrt(k) scale in f32 and cast the FINISHED matrix:
+    # computing sqrt in a low-precision target dtype (bf16) would apply a
+    # deterministic ~1e-3 rescale to every entry — a systematic bias, not
+    # zero-mean sketch noise — undermining the unbiasedness argument
     P = jax.random.rademacher(jax.random.PRNGKey(seed), (C, k))
-    return P.astype(dtype) / jnp.sqrt(jnp.asarray(float(k), dtype))
+    P = P.astype(jnp.float32) / jnp.sqrt(jnp.float32(k))
+    return P.astype(dtype)
 
 
 def _posterior_sites(model, params, exclude, last_layer,
@@ -98,12 +103,12 @@ def _name_to_path(name: str) -> tuple:
 
 def _mixed_diag_blocks(model, w, frozen, X, y, out, uncovered, fisher_type,
                        likelihood, mc_samples, seed, lossfunc,
-                       sketch_size=8):
+                       sketch_size=8, diag_probes=None):
     """Exact per-parameter curvature diagonal for posterior leaves outside
     every KFAC tap site (GAT attention vectors, GAT biases) — the diagonal
     counterpart of the KFAC B/A blocks, same Fisher semantics and scale.
 
-    Uses FORWARD mode: for unit direction e_p,
+    Exact path (default) uses FORWARD mode: for unit direction e_p,
         diag[p] = sum_{m,k} ( sum_c R[m,c,k] * (J e_p)[m,c] )^2
     where R is the per-sample middle square root of the chosen Fisher type
     (type-2: loss-Hessian sqrt; mc: sampled grads / sqrt(mc); empirical:
@@ -112,8 +117,19 @@ def _mixed_diag_blocks(model, w, frozen, X, y, out, uncovered, fisher_type,
     in ``direction_chunk``-sized blocks under a sequential ``lax.map`` —
     peak memory is chunk x one tangent pass instead of P_u x a full jvp
     (at N=8192 GAT the difference is ~24 GB vs ~0.5 GB of temps). Cost
-    scales with the (small) number of attention parameters, not with M*C
-    like reverse-mode jacobians would.
+    scales with the number of attention parameters, not with M*C like
+    reverse-mode jacobians would.
+
+    ``diag_probes=k`` switches to an UNBIASED Hutchinson estimate over the
+    (sample, column) axes: diag[p] = E_z[ (J^T (sum_k z_mk R_k))[p]^2 ]
+    with Rademacher z — k vjp pullbacks TOTAL instead of one tangent pass
+    per uncovered parameter. At arxiv-scale SparseGAT the exact path is
+    ~900 tangent passes (infeasible); 8 probes cost ~8 backward passes.
+    Per-probe squares keep the blocks PSD; a fixed seed keeps the factors
+    deterministic and differentiable (probe noise enters linearly through
+    the exact R columns, like the type-2 sketch). Variance ~1/k of the
+    squared off-diagonal mass of J^T F J restricted to each row — measured
+    deviation tables in BENCH_NOTES.
     """
     names = [n for n, _ in uncovered]
     shapes = [leaf.shape for _, leaf in uncovered]
@@ -157,6 +173,37 @@ def _mixed_diag_blocks(model, w, frozen, X, y, out, uncovered, fisher_type,
     def f_only(w_):
         return model.apply(merge_split(w_, frozen), X)
 
+    if diag_probes:
+        # Hutchinson probes over the (sample, column) axes: k vjps total
+        from ..utils.pytree import path_mask
+        uset = set(names)
+        umask = path_mask(w, lambda p: p in uset)
+        wu, wrest = split_by_mask(w, umask)
+
+        def f_u(wu_):
+            return model.apply(
+                merge_split(merge_split(wu_, wrest), frozen), X)
+
+        _, pull = jax.vjp(f_u, wu)
+        M, K = out.shape[0], R.shape[-1]
+        keyp = jax.random.fold_in(jax.random.PRNGKey(seed), 104729)
+        zs = jax.random.rademacher(keyp,
+                                   (diag_probes, M, K)).astype(out.dtype)
+
+        def one_probe(z):
+            cot = jnp.einsum("mck,mk->mc", R, z)
+            g = pull(cot)[0]
+            return jax.tree_util.tree_map(lambda a: a * a, g)
+
+        # checkpointed sequential map: under the outer hyperstep
+        # differentiation each probe's pullback chain is rematerialized
+        # instead of stored (same discipline as accumulate_B)
+        acc = jax.lax.map(jax.checkpoint(one_probe), zs)
+        diag_tree = jax.tree_util.tree_map(lambda a: jnp.mean(a, axis=0),
+                                           acc)
+        return {n: jnp.ravel(get_subtree(diag_tree, _name_to_path(n)))
+                for n in names}
+
     def one(e):
         # jax.jvp (recompute the primal per chunk) rather than
         # jax.linearize: storing the linearization residuals of a chunked
@@ -188,7 +235,8 @@ def compute_kfac_factors(model, params, X, y, likelihood: str,
                          return_output: bool = False,
                          column_chunk: Optional[int] = None,
                          mixed_diag: bool = False,
-                         sketch_size: int = 8):
+                         sketch_size: int = 8,
+                         diag_probes: Optional[int] = None):
     """Compute KFAC factors for one batch (X, y); A normalized by ``N``
     (total dataset size — the M/N rescale of laplace/curvature/
     curvlinops.py:46-53 pre-applied). With ``return_output=True`` also
@@ -376,7 +424,8 @@ def compute_kfac_factors(model, params, X, y, likelihood: str,
     if uncovered:
         diags = _mixed_diag_blocks(model, w, frozen, X, y, out, uncovered,
                                    fisher_type, likelihood, mc_samples,
-                                   seed, lossfunc, sketch_size=sketch_size)
+                                   seed, lossfunc, sketch_size=sketch_size,
+                                   diag_probes=diag_probes)
         for slot, (leaf_name, _) in zip(slots, uncovered):
             kfacs[slot] = [diags[leaf_name]]
     kron = Kron(kfacs)
@@ -400,7 +449,8 @@ class KFACOperator:
                  kfac_approx: str = "expand", exclude=DEFAULT_EXCLUDE,
                  last_layer: bool = False, N: Optional[int] = None,
                  seed: int = 0, check_deterministic: bool = False,
-                 mixed_diag: bool = False, sketch_size: int = 8):
+                 mixed_diag: bool = False, sketch_size: int = 8,
+                 diag_probes: Optional[int] = None):
         self.model = model
         self.params = params
         self.data = list(data) if data is not None else None
@@ -408,6 +458,7 @@ class KFACOperator:
         self.fisher_type = fisher_type
         self.mc_samples = mc_samples
         self.sketch_size = sketch_size
+        self.diag_probes = diag_probes
         self.kfac_approx = kfac_approx
         self.exclude = exclude
         self.last_layer = last_layer
@@ -452,7 +503,8 @@ class KFACOperator:
                     kfac_approx=self.kfac_approx, exclude=self.exclude,
                     last_layer=self.last_layer, N=self.N,
                     seed=self.seed + i, mixed_diag=self.mixed_diag,
-                    sketch_size=self.sketch_size)
+                    sketch_size=self.sketch_size,
+                    diag_probes=self.diag_probes)
                 total = k if total is None else total + k
             self._kron = total
         return self._kron

@@ -44,12 +44,19 @@ class BaseLaplace:
                  prior_mean: float = 0.0,
                  temperature: float = 1.0,
                  enable_backprop: bool = False,
+                 dict_key_x: str = "input_ids",
+                 dict_key_y: str = "labels",
                  backend: Optional[type] = None,
                  backend_kwargs: Optional[dict] = None,
                  exclude=DEFAULT_EXCLUDE):
         if likelihood not in [e.value for e in Likelihood]:
             raise ValueError(f"Invalid likelihood type {likelihood}")
         self.model = model
+        # HF-style dict-input models (reference baselaplace.py:77-82): when
+        # a loader yields a MutableMapping batch, the whole mapping is the
+        # model input and the targets live under ``dict_key_y``
+        self.dict_key_x = dict_key_x
+        self.dict_key_y = dict_key_y
         # reward modeling keeps its identity: FIT uses the classification
         # likelihood, PREDICT uses regression (mean + variance of the
         # scalar reward) — reference baselaplace.py:57-63, :1060-1061
@@ -263,10 +270,22 @@ class BaseLaplace:
             prior_precs.append(prior_prec)
         return prior_precs[int(np.argmin(results))]
 
+    def _unpack_batch(self, data):
+        """(X, y) from a loader batch: a (X, y) tuple, or an HF-style
+        MutableMapping whose whole mapping is the model input and whose
+        targets live under ``dict_key_y`` (reference baselaplace.py:798-807,
+        dict_key_x/dict_key_y :77-82)."""
+        from collections.abc import MutableMapping
+        if isinstance(data, MutableMapping):
+            return data, data[self.dict_key_y]
+        X, y = data
+        return X, y
+
     def _validate(self, val_loader, loss, pred_type, link_approx, n_samples):
         """Offline predictive validation loop (laplace/utils/utils.py:40-101)."""
         outs, targets = [], []
-        for X, y in val_loader:
+        for data in val_loader:
+            X, y = self._unpack_batch(data)
             pred = self(X, pred_type=pred_type, link_approx=link_approx,
                         n_samples=n_samples, fitting=True)
             if isinstance(pred, tuple):
@@ -294,7 +313,7 @@ class ParametricLaplace(BaseLaplace):
         if getattr(self, "H", None) is None:
             raise AttributeError("Laplace not fitted. Run fit() first.")
 
-    def _curv_closure(self, X, y, N: int):
+    def _curv_closure(self, X, y, N: int, batch_idx: int = 0):
         raise NotImplementedError
 
     def fit(self, train_loader, override: bool = True) -> None:
@@ -306,14 +325,15 @@ class ParametricLaplace(BaseLaplace):
 
         self.mean = self.backend.mean_vector()
 
-        N = dataset_size(train_loader)
+        N = dataset_size(train_loader, dict_key_y=self.dict_key_y)
         first = True
-        for X, y in train_loader:
+        for i, data in enumerate(train_loader):
+            X, y = self._unpack_batch(data)
             if first:
                 out = self.backend.model_fn(self.backend.w, X)
                 self.n_outputs = out.shape[-1]
                 first = False
-            loss_batch, H_batch = self._curv_closure(X, y, N=N)
+            loss_batch, H_batch = self._curv_closure(X, y, N=N, batch_idx=i)
             self.loss = self.loss + loss_batch
             self.H = H_batch if self.H is None else self.H + H_batch
         self.n_data += N

@@ -32,7 +32,7 @@ class FullLaplace(ParametricLaplace):
     def _init_H(self) -> None:
         self.H = jnp.zeros((self.n_params, self.n_params))
 
-    def _curv_closure(self, X, y, N: int):
+    def _curv_closure(self, X, y, N: int, batch_idx: int = 0):
         return self.backend.full(X, y, N=N)
 
     def fit(self, train_loader, override: bool = True) -> None:
@@ -105,8 +105,12 @@ class KronLaplace(ParametricLaplace):
         if getattr(self, "H_facs", None) is None:
             raise AttributeError("Laplace not fitted. Run fit() first.")
 
-    def _curv_closure(self, X, y, N: int):
-        return self.backend.kron(X, y, N=N)
+    def _curv_closure(self, X, y, N: int, batch_idx: int = 0):
+        # fold the batch index into the sketch/MC seed so estimator noise is
+        # independent across batches and averages down over a multi-batch
+        # fit (mirrors KFACOperator's seed=self.seed+i per batch)
+        seed = getattr(self.backend, "seed", 0) + batch_idx
+        return self.backend.kron(X, y, N=N, seed=seed)
 
     @staticmethod
     def _rescale_factors(kron: Kron, factor) -> Kron:
@@ -202,7 +206,7 @@ class DiagLaplace(ParametricLaplace):
     def _init_H(self) -> None:
         self.H = jnp.zeros(self.n_params)
 
-    def _curv_closure(self, X, y, N: int):
+    def _curv_closure(self, X, y, N: int, batch_idx: int = 0):
         return self.backend.diag(X, y, N=N)
 
     @property

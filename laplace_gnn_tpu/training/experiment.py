@@ -84,6 +84,21 @@ def argument_parser() -> argparse.ArgumentParser:
     p.add_argument("--overwrite_config", type=_to_bool, default=False)
     p.add_argument("--num_layers", type=int, default=2)
     p.add_argument("--seed", type=int, default=0)
+    # curvature estimator knobs (the measured scale configurations of
+    # BENCH_NOTES — e.g. `--fisher_type type-2-sketch --sketch_size 8` or
+    # `--fisher_type mc` — reachable from the command line / YAML configs)
+    p.add_argument("--fisher_type", type=str, default="type-2",
+                   choices=["type-2", "type-2-fork", "type-2-sketch", "mc",
+                            "empirical", "forward-only"])
+    p.add_argument("--sketch_size", type=int, default=8,
+                   help="type-2-sketch: number of Rademacher combinations k")
+    p.add_argument("--column_chunk", type=int, default=None,
+                   help="bound type-2 peak memory: pullback columns per "
+                        "lax.map chunk (None = fully vmapped)")
+    p.add_argument("--mc_samples", type=int, default=1,
+                   help="MC Fisher samples per fit")
+    p.add_argument("--fisher_seed", type=int, default=0,
+                   help="base PRNG seed for sketch/MC fisher estimators")
     return p
 
 
@@ -279,6 +294,11 @@ def run_experiment(args_dict: dict, verbose: bool = True) -> dict:
                         grad_norm=args_dict["grad_norm"],
                         early_stop=args_dict["early_stop"],
                         model_type=args_dict["model_type"],
+                        fisher_type=args_dict.get("fisher_type", "type-2"),
+                        sketch_size=int(args_dict.get("sketch_size", 8)),
+                        column_chunk=args_dict.get("column_chunk"),
+                        mc_samples=int(args_dict.get("mc_samples", 1)),
+                        fisher_seed=int(args_dict.get("fisher_seed", 0)),
                         learned_graphs_dir=learned_graphs_dir,
                         verbose=verbose)
 

