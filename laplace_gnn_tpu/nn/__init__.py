@@ -1,3 +1,4 @@
-from .module import (ACTIVATIONS, BatchNorm, CNN, Conv2d, Identity, LayerNorm,
-                     Linear, MLP, TapCollector, activation_resolver, dropout,
-                     get_subtree, make_norm, set_subtree)
+from .module import (ACTIVATIONS, BatchNorm, CNN, Conv2d, DictInputModel,
+                     Identity, LayerNorm, Linear, MLP, TapCollector,
+                     activation_resolver, dropout, get_subtree, make_norm,
+                     set_subtree)

@@ -402,3 +402,49 @@ def set_subtree(params: Any, path: tuple, value):
         out[head] = set_subtree(params[head], rest, value)
         return type(params)(out) if isinstance(params, tuple) else out
     raise TypeError(f"Cannot set path {path} in {type(params)}")
+
+
+class DictInputModel:
+    """Adapter making any module accept HF-style ``MutableMapping`` batches.
+
+    The array stored under ``dict_key_x`` is the wrapped model's input;
+    other keys (e.g. the targets under ``dict_key_y``) ride along and are
+    ignored by the forward. This is the TPU build's counterpart of the
+    reference's dict-input model support (laplace/baselaplace.py:77-82,
+    dict-input fakes tests/utils.py:109-127, examples/huggingface_example.py)
+    — there the *user's* model consumes the dict; here a wrapper does, so
+    every existing module works with dict loaders unchanged. Plain-array
+    inputs still pass through, matching the reference models' dual
+    behavior.
+    """
+
+    def __init__(self, base, dict_key_x: str = "input_ids"):
+        self.base = base
+        self.dict_key_x = dict_key_x
+        self.n_outputs = getattr(base, "n_outputs", None)
+        self.last_layer_closed_form = getattr(base, "last_layer_closed_form",
+                                              False)
+
+    def _x(self, X):
+        from collections.abc import MutableMapping
+        if isinstance(X, MutableMapping):
+            return X[self.dict_key_x]
+        return X
+
+    def init(self, key, dtype=None):
+        return self.base.init(key, dtype)
+
+    def apply(self, params, X, taps=None, rng=None, train=False):
+        return self.base.apply(params, self._x(X), taps=taps, rng=rng,
+                               train=train)
+
+    __call__ = apply
+
+    def features(self, params, X):
+        return self.base.features(params, self._x(X))
+
+    def tap_sites(self, params):
+        return self.base.tap_sites(params)
+
+    def last_layer_path(self, params):
+        return self.base.last_layer_path(params)

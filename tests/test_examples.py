@@ -135,3 +135,9 @@ def test_learned_graph_evolution(capsys, tmp_path, monkeypatch):
     for fn in ("adj_initial.png", "adj_learned.png", "homophily.png",
                "edge_types.png", "degrees.png"):
         assert (tmp_path / fn).exists(), fn
+
+
+def test_dict_input_llm_head(capsys):
+    run_example("12_dict_input_llm_head.py")
+    out = capsys.readouterr().out
+    assert "dict-input predictive sums to 1: OK" in out
