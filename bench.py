@@ -283,7 +283,13 @@ def bench_absolute(X, adj, y, n_train=140):
         "ggn_mvp_medges_per_s": round(ggn_edges_per_s / 1e6, 1),
         "spmm_us": round(t_spmm * 1e6, 1),
         "spmm_medges_per_s": round(spmm_edges_per_s / 1e6, 1),
-        "spmm_pct_hbm_roofline": round(pct_roof, 1),
+        # Cora-sized SpMM is LAUNCH-OVERHEAD-BOUND (2708 nodes, ~250 us):
+        # this percentage is not a statement about the lowering's quality —
+        # the at-scale roofline lives in spmm_roofline_arxiv_recorded below
+        # (measured by scripts/bench_spmm_roofline.py at N=169k, where the
+        # binding ceiling is the gather engine's per-row-descriptor rate,
+        # not sequential HBM bandwidth; BENCH_NOTES "Roofline honesty")
+        "spmm_pct_hbm_roofline_cora_launchbound": round(pct_roof, 1),
         "projected_scaling_eff": {str(r["n"]): round(r["efficiency"], 3)
                                   for r in rows},
     }
@@ -443,6 +449,22 @@ def main():
     if os.path.exists(ls_fn):
         with open(ls_fn) as f:
             extras["laplace_scale_recorded"] = json.load(f)
+    # arxiv-scale SpMM roofline (scripts/bench_spmm_roofline.py): the
+    # headline roofline entry — aggregation time vs the measured
+    # gather-engine descriptor ceiling AND the sequential-HBM bound, at a
+    # size where launch overhead is irrelevant
+    rf_fn = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_SPMM_ROOFLINE.json")
+    if os.path.exists(rf_fn):
+        with open(rf_fn) as f:
+            extras["spmm_roofline_arxiv_recorded"] = json.load(f)
+    # SparseGAT at arxiv scale (scripts/bench_sparse_gat.py): the round-5
+    # bf16 + runtime-coefficient-ELL attention path
+    sg_fn = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_SPARSE_GAT.json")
+    if os.path.exists(sg_fn):
+        with open(sg_fn) as f:
+            extras["sparse_gat_scale_recorded"] = json.load(f)
     print(json.dumps({
         "metric": "marglik_hyperstep_ms",
         "value": round(t_hyper * 1e3, 3),

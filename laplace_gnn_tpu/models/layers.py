@@ -76,10 +76,17 @@ class GraphSAGEConv:
                  "has_bias": self.lin.use_bias}]
 
 
-def _masked_attention_dense(alpha_src, alpha_dst, adj, h, negative_slope):
+def _masked_attention_dense(alpha_src, alpha_dst, adj, h, negative_slope,
+                            attn_dtype=None):
     """out[i] = sum_j softmax_j(leaky_relu(a_src[j] + a_dst[i]) | adj[i,j]>0)
     * h[j], materializing the full (N, N, H) score tensor (reference
-    gnn/models/layers.py:110-124 semantics; i=target row, j=source col)."""
+    gnn/models/layers.py:110-124 semantics; i=target row, j=source col).
+
+    ``adj`` may be any dtype — only ``adj > 0`` enters (an int8 mask read
+    moves 4x fewer HBM bytes than f32; see GAT(mask_dtype=...)).
+    ``attn_dtype`` (e.g. bfloat16) casts ONLY the final alpha @ h
+    contraction's operands — the MXU-bound N^2*H*F matmul — keeping the
+    softmax chain in full precision; the result is cast back."""
     scores = alpha_src[None, :, :] + alpha_dst[:, None, :]         # (N, N, H)
     scores = jax.nn.leaky_relu(scores, negative_slope)
     mask = (adj > 0)[..., None]
@@ -90,11 +97,16 @@ def _masked_attention_dense(alpha_src, alpha_dst, adj, h, negative_slope):
     ex = jnp.where(mask, jnp.exp(scores - smax), 0.0)
     denom = jnp.sum(ex, axis=1, keepdims=True)
     alpha = ex / jnp.where(denom == 0, 1.0, denom)                 # (N, N, H)
+    if attn_dtype is not None:
+        out = jnp.einsum("ijh,jhf->ihf", alpha.astype(attn_dtype),
+                         h.astype(attn_dtype),
+                         preferred_element_type=h.dtype)
+        return out.astype(h.dtype)
     return jnp.einsum("ijh,jhf->ihf", alpha, h)                    # (N, H, F)
 
 
 def _masked_attention_chunked(alpha_src, alpha_dst, adj, h, negative_slope,
-                              block: int):
+                              block: int, attn_dtype=None):
     """Flash-style row-blocked masked attention: identical math to
     :func:`_masked_attention_dense` but never materializes the (N, N, H)
     score tensor — each target-row block of ``block`` rows computes its own
@@ -122,7 +134,8 @@ def _masked_attention_chunked(alpha_src, alpha_dst, adj, h, negative_slope,
         a_dst_blk = jax.lax.dynamic_slice(a_dst_p, (i0, 0), (block, H))
         # padded rows have an all-False mask -> denom 0 -> zero output rows
         return _masked_attention_dense(alpha_src, a_dst_blk, adj_blk, h,
-                                       negative_slope)
+                                       negative_slope,
+                                       attn_dtype=attn_dtype)
 
     i0s = jnp.arange(0, n_pad, block)
     out = jax.lax.map(one_block, i0s)          # (n_pad/block, block, H, F)
@@ -159,6 +172,7 @@ class GATConv:
                  negative_slope: float = 0.2, concat: bool = True,
                  bias: bool = True, name: str = "conv",
                  row_block: Optional[int] = None,
+                 attn_dtype: Optional[str] = None,
                  attention_impl: Optional[callable] = None):
         self.in_channels = in_channels
         self.out_channels = out_channels
@@ -169,6 +183,9 @@ class GATConv:
         self.lin = Linear(in_channels, heads * out_channels, bias=False, name=name)
         self.name = name
         self.row_block = row_block
+        #: cast only the alpha @ h contraction operands (the MXU-bound
+        #: N^2*H*F matmul) to this dtype; softmax stays full-precision
+        self.attn_dtype = attn_dtype
         #: optional override for the masked-softmax aggregation with the
         #: signature (alpha_src, alpha_dst, adj, h, negative_slope) -> out —
         #: e.g. parallel/sharded.py::make_row_sharded_gat_attention for
@@ -207,10 +224,12 @@ class GATConv:
                                       self.negative_slope)
         elif block and block < n:
             out = _masked_attention_chunked(
-                alpha_src, alpha_dst, adj, h, self.negative_slope, block)
+                alpha_src, alpha_dst, adj, h, self.negative_slope, block,
+                attn_dtype=self.attn_dtype)
         else:
             out = _masked_attention_dense(
-                alpha_src, alpha_dst, adj, h, self.negative_slope)
+                alpha_src, alpha_dst, adj, h, self.negative_slope,
+                attn_dtype=self.attn_dtype)
         if self.concat:
             out = out.reshape(n, self.heads * self.out_channels)
         else:

@@ -232,17 +232,32 @@ class LoRASTEGCN(BaseGNN):
 
 
 class GAT(BaseGNN):
-    """Dense multi-head graph attention (reference gnn/models/models.py:238-275)."""
+    """Dense multi-head graph attention (reference gnn/models/models.py:238-275).
+
+    Scale knobs beyond the reference: ``row_block`` / ``attn_dtype`` flow to
+    :class:`~..models.layers.GATConv` (flash-style chunking, bf16
+    contraction), and ``mask_dtype`` ('int8') serves the attention a STATIC
+    packed mask instead of the f32 adjacency — exact (attention only tests
+    ``adj > 0`` and GAT never updates its adjacency: NO_ADJ_UPDATE in the
+    reference, gnn/marglik_training.py:31-39) and 4x less mask HBM traffic,
+    the dominant dense-path read at N >= 16k."""
 
     def __init__(self, in_channels, hidden_channels, out_channels, num_layers,
                  X, init_adj, dropout_p=0.5, act="relu", act_kwargs=None,
-                 symmetric: bool = False, **kwargs):
+                 symmetric: bool = False, mask_dtype=None, **kwargs):
         init_adj = fill_diagonal_any(init_adj, 1.0)
+        self._static_mask = None
+        if mask_dtype is not None:
+            import numpy as _np
+            self._static_mask = jnp.asarray(
+                _np.asarray(init_adj) > 0, dtype=mask_dtype)
         super().__init__(in_channels, hidden_channels, out_channels,
                          num_layers, X, init_adj, dropout_p, act, act_kwargs,
                          update_adj=False, symmetric=symmetric, **kwargs)
 
     def forward_adj(self, params, rng=None):
+        if self._static_mask is not None:
+            return self._static_mask
         return params["adj"]
 
     def init_conv(self, in_channels, out_channels, name, **kwargs):

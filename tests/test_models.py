@@ -261,3 +261,42 @@ def test_jit_forward(graph):
     np.testing.assert_allclose(np.asarray(out),
                                np.asarray(model.apply(params, jnp.arange(4))),
                                atol=1e-12)
+
+
+def test_gat_int8_mask_and_bf16_attention():
+    """GAT(mask_dtype='int8') is EXACT (attention only tests adj > 0, and
+    GAT never updates its adjacency); attn_dtype='bfloat16' casts only the
+    alpha @ h contraction and stays within bf16 tolerance. Both compose
+    with row_block chunking."""
+    n = 40
+    rng = np.random.default_rng(9)
+    X = jnp.asarray(rng.standard_normal((n, D)), jnp.float32)
+    a = (rng.random((n, n)) < 0.2).astype(np.float32)
+    adj = jnp.asarray(np.minimum(a + a.T, 1.0) * (1 - np.eye(n)))
+    idx = jnp.arange(n)
+
+    ref = GAT(D, H, C, 2, X, adj, heads=2, concat=False, dropout_p=0.0)
+    params = ref.init(jax.random.PRNGKey(0), jnp.float32)
+    out_ref = ref.apply(params, idx)
+
+    m_int8 = GAT(D, H, C, 2, X, adj, heads=2, concat=False,
+                 dropout_p=0.0, mask_dtype="int8")
+    assert m_int8._static_mask.dtype == jnp.int8
+    np.testing.assert_array_equal(np.asarray(m_int8.apply(params, idx)),
+                                  np.asarray(out_ref))
+
+    m_both = GAT(D, H, C, 2, X, adj, heads=2, concat=False,
+                 dropout_p=0.0, mask_dtype="int8", attn_dtype="bfloat16",
+                 row_block=16)
+    out_b = m_both.apply(params, idx)
+    assert out_b.dtype == out_ref.dtype
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_ref),
+                               rtol=0.05, atol=0.05)
+    # gradients flow on the optimized path
+    from laplace_gnn_tpu.curvature.losses import cross_entropy_sum
+    y = jnp.asarray(rng.integers(0, C, n))
+    g = jax.grad(lambda p: cross_entropy_sum(
+        m_both.apply(p, idx), y) / n)(params)
+    leaves = [l for k, l in g.items() if k != "adj"]
+    assert all(np.isfinite(np.asarray(l)).all()
+               for l in jax.tree_util.tree_leaves(leaves))
