@@ -125,8 +125,10 @@ def _masked_attention_chunked(alpha_src, alpha_dst, adj, h, negative_slope,
     R = adj.shape[0]
     n_pad = -(-R // block) * block
     pad = n_pad - R
-    adj_p = jnp.pad(adj, ((0, pad), (0, 0)))
-    a_dst_p = jnp.pad(alpha_dst, ((0, pad), (0, 0)))
+    # a zero pad still copies the O(N^2) adjacency (4.3 GB at N=32768);
+    # skip it when the block divides R
+    adj_p = jnp.pad(adj, ((0, pad), (0, 0))) if pad else adj
+    a_dst_p = jnp.pad(alpha_dst, ((0, pad), (0, 0))) if pad else alpha_dst
 
     @jax.checkpoint
     def one_block(i0):
@@ -220,8 +222,18 @@ class GATConv:
         if block is None and n > self.AUTO_CHUNK_N:
             block = 512
         if self.attention_impl is not None:
-            out = self.attention_impl(alpha_src, alpha_dst, adj, h,
-                                      self.negative_slope)
+            impl = self.attention_impl
+            if impl == "flash":
+                # fused online-softmax Pallas kernel (ops/pallas_attention):
+                # nothing score-shaped ever touches HBM; attn_dtype feeds
+                # the kernel's MXU contraction dtype
+                from ..ops.pallas_attention import flash_masked_attention
+                out = flash_masked_attention(alpha_src, alpha_dst, adj, h,
+                                             self.negative_slope,
+                                             self.attn_dtype)
+            else:
+                out = impl(alpha_src, alpha_dst, adj, h,
+                           self.negative_slope)
         elif block and block < n:
             out = _masked_attention_chunked(
                 alpha_src, alpha_dst, adj, h, self.negative_slope, block,

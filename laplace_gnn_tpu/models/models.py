@@ -246,18 +246,19 @@ class GAT(BaseGNN):
                  X, init_adj, dropout_p=0.5, act="relu", act_kwargs=None,
                  symmetric: bool = False, mask_dtype=None, **kwargs):
         init_adj = fill_diagonal_any(init_adj, 1.0)
-        self._static_mask = None
-        if mask_dtype is not None:
-            import numpy as _np
-            self._static_mask = jnp.asarray(
-                _np.asarray(init_adj) > 0, dtype=mask_dtype)
+        self.mask_dtype = mask_dtype
         super().__init__(in_channels, hidden_channels, out_channels,
                          num_layers, X, init_adj, dropout_p, act, act_kwargs,
                          update_adj=False, symmetric=symmetric, **kwargs)
 
     def forward_adj(self, params, rng=None):
-        if self._static_mask is not None:
-            return self._static_mask
+        if self.mask_dtype is not None:
+            # derive the packed mask from the (loop-invariant) adjacency
+            # INSIDE the trace: XLA hoists the cast out of training loops,
+            # so steady-state mask reads are 1 byte/entry. (Baking a
+            # precomputed N x N int8 constant into the program instead
+            # overflows the remote-compile request at N >= 16k.)
+            return (params["adj"] > 0).astype(self.mask_dtype)
         return params["adj"]
 
     def init_conv(self, in_channels, out_channels, name, **kwargs):

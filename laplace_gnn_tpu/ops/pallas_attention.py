@@ -1,0 +1,208 @@
+"""Fused flash-style masked GAT attention (dense adjacency, one pass).
+
+The XLA row-blocked masked softmax (models/layers.py::
+_masked_attention_chunked) is exact but TWO-pass per row block: XLA
+materializes a (block, N, H) f32 intermediate between the max pass and the
+exp/contract pass — ~8.6 GB of HBM round trips per layer at N=16384, which
+is where the measured 31.6 ms forward goes (BENCH_NOTES r5 attribution:
+int8 masks and bf16 contraction operands move it by 0%, so the bound is the
+materialized softmax chain, not mask bytes or MXU throughput).
+
+This kernel runs the ONLINE-softmax recurrence (flash attention) over
+source-column blocks: running max m, running denominator l, and an
+unnormalized accumulator are carried in VMEM scratch across the j grid
+dimension, so nothing score-shaped ever touches HBM. Per (i, j) step:
+
+    s       = leaky_relu(a_src[j-block] + a_dst[i-block])   masked by adj>0
+    m_new   = max(m, max_j s)
+    p       = exp(s - m_new)                (masked entries: exp(-inf) = 0)
+    c       = exp(m - m_new)
+    l       = c * l + sum_j p
+    acc     = c * acc + p @ h[j-block]      (per-head MXU dot)
+
+Masked scores are -inf (so their p is exactly 0); the running max is
+floored at -1e30 so corrections stay finite; rows with no neighbors end
+with l = 0 and emit zero rows — identical semantics to the XLA path.
+
+The public entry (:func:`flash_masked_attention`) is a ``jax.custom_vjp``
+whose backward recomputes gradients through the XLA chunked implementation
+(same math, exact composite gradients incl. the structural zero into the
+adjacency — attention reads the adjacency only through ``adj > 0``, matching
+reference gnn/models/layers.py:101-124 where GAT never updates its
+adjacency). It is a drop-in for ``GATConv(attention_impl=...)``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_BIG = -1e30
+
+
+def _round_to(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _flash_kernel(adj_ref, asrc_ref, adst_ref, h_ref, out_ref,
+                  m_ref, l_ref, acc_ref, *, n_j: int, bm: int, bn: int,
+                  negative_slope: float, n: int, attn_dtype):
+    i, j = pl.program_id(0), pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_BIG)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    H = asrc_ref.shape[0]
+    a = adj_ref[:]                                   # (bm, bn)
+    if not jnp.issubdtype(a.dtype, jnp.floating):
+        # Mosaic lacks sub-word integer vector compares on this target;
+        # the f32 upcast happens in-register on the (bm, bn) tile
+        a = a.astype(jnp.float32)
+    col_ids = j * bn + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 1)
+    valid = (a > 0) & (col_ids < n)                  # (bm, bn)
+
+    a_src = asrc_ref[:].astype(jnp.float32)          # (H, bn)
+    a_dst = adst_ref[:].astype(jnp.float32)          # (H, bm)
+    s = a_src[:, None, :] + a_dst[:, :, None]        # (H, bm, bn)
+    s = jnp.where(s >= 0, s, negative_slope * s)     # leaky_relu
+    s = jnp.where(valid[None, :, :], s, -jnp.inf)
+
+    m_old = m_ref[:]                                 # (H, bm)
+    m_new = jnp.maximum(m_old, jnp.max(s, axis=2))
+    m_new = jnp.maximum(m_new, _NEG_BIG)             # floor: stays finite
+    p = jnp.exp(s - m_new[:, :, None])               # masked -> exactly 0
+    c = jnp.exp(m_old - m_new)                       # (H, bm)
+    m_ref[:] = m_new
+    l_ref[:] = c * l_ref[:] + jnp.sum(p, axis=2)
+    # per-head contraction over the source block: (H, bm, bn) @ (H, bn, F).
+    # attn_dtype=bf16 runs the MXU at 4x the f32 rate (f32 accumulation);
+    # at N=16384/H=8 the f32 contraction IS the kernel's bottleneck
+    # (~1.1 TFLOP/forward ~= 22 ms at the v5e f32 rate)
+    cd = attn_dtype or h_ref.dtype
+    pv = jax.lax.dot_general(
+        p.astype(cd), h_ref[:].astype(cd),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)          # (H, bm, F)
+    acc_ref[:] = c[:, :, None] * acc_ref[:] + pv
+
+    @pl.when(j == n_j - 1)
+    def _():
+        l = l_ref[:]
+        out = acc_ref[:] / jnp.where(l == 0, 1.0, l)[:, :, None]
+        out_ref[:] = out.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("negative_slope", "bm", "bn",
+                                    "interpret", "attn_dtype"))
+def _flash_fwd_pallas(alpha_src, alpha_dst, adj, h,
+                      negative_slope: float = 0.2,
+                      bm: int = 256, bn: int = 512,
+                      interpret: bool = False, attn_dtype=None):
+    """(N, H) scores material + (N, N) adjacency + (N, H, F) values ->
+    (N, H, F) attention output, never materializing anything (N, N)-by-H
+    shaped in HBM."""
+    n, H, F = h.shape
+    bm = min(bm, _round_to(n, 8))
+    bn = min(bn, _round_to(n, 128))
+    Fp = _round_to(F, 128)
+    n_i, n_j = pl.cdiv(n, bm), pl.cdiv(n, bn)
+
+    # head-major layouts: lane dimension = the blocked node axis. The
+    # small operands are explicitly ZERO-padded to whole blocks: Pallas
+    # out-of-bounds block reads are undefined, and a single NaN row in h
+    # poisons the dot even under a zero attention weight (0 * NaN = NaN);
+    # masked scores handle the adjacency's ragged edge, but values must
+    # be finite. (The O(N^2) adjacency is NOT padded — its garbage only
+    # feeds `a > 0` comparisons and sliced-off output rows.)
+    pad_j = n_j * bn - n
+    pad_i = n_i * bm - n
+    asrc_t = jnp.pad(alpha_src.T, ((0, 0), (0, pad_j)))   # (H, Njp)
+    adst_t = jnp.pad(alpha_dst.T, ((0, 0), (0, pad_i)))   # (H, Nip)
+    h_t = jnp.moveaxis(h, 1, 0)                           # (H, N, F)
+    h_t = jnp.pad(h_t, ((0, 0), (0, pad_j), (0, Fp - F)))
+
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, n_j=n_j, bm=bm, bn=bn,
+                          negative_slope=negative_slope, n=n,
+                          attn_dtype=(jnp.dtype(attn_dtype)
+                                      if attn_dtype else None)),
+        grid=(n_i, n_j),
+        in_specs=[
+            pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, bn), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, bm), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, bn, Fp), lambda i, j: (0, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((H, bm, Fp), lambda i, j: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((H, n_i * bm, Fp), h.dtype),
+        scratch_shapes=[pltpu.VMEM((H, bm), jnp.float32),
+                        pltpu.VMEM((H, bm), jnp.float32),
+                        pltpu.VMEM((H, bm, Fp), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * n * H * Fp + 8 * n * n * H,
+            bytes_accessed=n * n * adj.dtype.itemsize
+            + n * H * Fp * h.dtype.itemsize,
+            transcendentals=n * n * H),
+        interpret=interpret,
+    )(adj, asrc_t, adst_t, h_t)
+    return jnp.moveaxis(out[:, :n, :F], 0, 1)         # (N, H, F)
+
+
+def _xla_reference(alpha_src, alpha_dst, adj, h, negative_slope):
+    from ..models.layers import _masked_attention_chunked
+    block = 512 if adj.shape[0] > 1024 else max(adj.shape[0] // 2, 1)
+    if block >= adj.shape[0]:
+        from ..models.layers import _masked_attention_dense
+        return _masked_attention_dense(alpha_src, alpha_dst, adj, h,
+                                       negative_slope)
+    return _masked_attention_chunked(alpha_src, alpha_dst, adj, h,
+                                     negative_slope, block)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def flash_masked_attention(alpha_src, alpha_dst, adj, h,
+                           negative_slope: float = 0.2,
+                           attn_dtype=None):
+    """Fused masked GAT attention; signature matches GATConv's
+    ``attention_impl`` hook. Forward = Pallas flash kernel on TPU (XLA
+    fallback elsewhere); backward = exact gradients recomputed through the
+    XLA chunked path (whose checkpointed blocks re-derive the scores, so
+    the backward stores nothing (N, N, H)-shaped either)."""
+    if jax.default_backend() in ("cpu",):
+        return _xla_reference(alpha_src, alpha_dst, adj, h, negative_slope)
+    return _flash_fwd_pallas(alpha_src, alpha_dst, adj, h,
+                             negative_slope=negative_slope,
+                             attn_dtype=attn_dtype)
+
+
+def _fma_fwd(alpha_src, alpha_dst, adj, h, negative_slope, attn_dtype):
+    out = flash_masked_attention(alpha_src, alpha_dst, adj, h,
+                                 negative_slope, attn_dtype)
+    return out, (alpha_src, alpha_dst, adj, h)
+
+
+def _fma_bwd(negative_slope, attn_dtype, res, g):
+    alpha_src, alpha_dst, adj, h = res
+    _, vjp = jax.vjp(
+        lambda a_s, a_d, hh: _xla_reference(a_s, a_d, adj, hh,
+                                            negative_slope),
+        alpha_src, alpha_dst, h)
+    g_as, g_ad, g_h = vjp(g)
+    # adjacency enters only through the boolean mask: structural zero
+    return g_as, g_ad, jnp.zeros_like(adj), g_h
+
+
+flash_masked_attention.defvjp(_fma_fwd, _fma_bwd)

@@ -59,6 +59,12 @@ def main():
     ap.add_argument("--opt_variants", action="store_true",
                     help="also run int8-mask / bf16-attn variants of the "
                          "largest block (round-5 attribution set)")
+    ap.add_argument("--flash", action="store_true",
+                    help="also run the fused Pallas flash-attention kernel")
+    ap.add_argument("--no_check", action="store_true",
+                    help="skip the eager cross-variant correctness check "
+                         "(feasibility runs at N >= 32k: the eager check's "
+                         "extra device copies OOM the 16 GB chip)")
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--kf", type=int, default=20,
                     help="forward iterations per timed loop")
@@ -74,17 +80,29 @@ def main():
     n, d, hid, heads = args.n, args.d, args.hidden, args.heads
     rng = np.random.default_rng(0)
     X = jnp.asarray(rng.standard_normal((n, d), dtype=np.float32))
-    a = (rng.random((n, n)) < args.density).astype(np.float32)
-    adj = jnp.asarray(np.minimum(a + a.T, 1.0) * (1 - np.eye(n, dtype=np.float32)))
+    # memory-lean symmetric ER adjacency: build in f32 blocks (an (n, n)
+    # f64 intermediate is 8.6 GB at n=32768 and swaps the host)
+    a = np.zeros((n, n), dtype=np.float32)
+    step = 4096
+    for i0 in range(0, n, step):
+        blk = (rng.random((min(step, n - i0), n)) < args.density)
+        a[i0:i0 + len(blk)] = blk
+    np.maximum(a, a.T, out=a)
+    np.fill_diagonal(a, 0.0)
+    # keep the host copy: each model's init makes the single device copy
+    # (a second resident device adjacency is 4.3 GB at N=32768)
+    adj = a
     y = jnp.asarray(rng.integers(0, 8, n))
     idx = jnp.arange(1024)
 
-    def build(row_block, mask_dtype=None, attn_dtype=None):
+    def build(row_block, mask_dtype=None, attn_dtype=None,
+              attention_impl=None):
         # row_block >= n disables chunking (apply() requires block < n),
         # so passing n forces the dense (N,N,H) baseline
         model = GAT(d, hid, 8, 2, X, adj, heads=heads, concat=True,
                     dropout_p=0.0, row_block=row_block,
-                    mask_dtype=mask_dtype, attn_dtype=attn_dtype)
+                    mask_dtype=mask_dtype, attn_dtype=attn_dtype,
+                    attention_impl=attention_impl)
         params = model.init(jax.random.PRNGKey(0))
         return model, params
 
@@ -136,16 +154,28 @@ def main():
         variants += [(f"block{b}_int8mask", (b, "int8", None)),
                      (f"block{b}_bf16attn", (b, None, "bfloat16")),
                      (f"block{b}_int8_bf16", (b, "int8", "bfloat16"))]
+    if args.flash:
+        variants += [("flash", (n, None, None, "flash")),
+                     ("flash_bf16dot", (n, None, "bfloat16", "flash")),
+                     ("flash_int8_bf16", (n, "int8", "bfloat16", "flash"))]
     out_ref = None
-    for name, (blk, mdt, adt) in variants:
-        model, params = build(blk, mask_dtype=mdt, attn_dtype=adt)
+    for name, spec in variants:
+        blk, mdt, adt = spec[:3]
+        impl = spec[3] if len(spec) > 3 else None
+        model, params = build(blk, mask_dtype=mdt, attn_dtype=adt,
+                              attention_impl=impl)
         # correctness cross-check (first 8 output rows against dense)
-        out = model.apply(params, jnp.arange(8))
-        if out_ref is None:
+        out = None if args.no_check else model.apply(params, jnp.arange(8))
+        if out is None:
+            pass
+        elif out_ref is None:
             out_ref = out
         else:
             err = float(jnp.abs(out - out_ref).max())
-            tol = 0.05 if adt else 1e-4
+            # bf16 contraction operands: bf16 tolerance; flash kernel:
+            # MXU default-precision f32 dots differ ~1e-4 from XLA einsum
+            # over 16k-neighbor sums
+            tol = 0.05 if adt else (1e-3 if impl else 1e-4)
             assert err < tol, (name, err)
         fwd_loop, train_loop = programs(model)
         t_f = _median_loop_time(fwd_loop, params, args.kf, reps=args.reps)

@@ -281,7 +281,7 @@ def test_gat_int8_mask_and_bf16_attention():
 
     m_int8 = GAT(D, H, C, 2, X, adj, heads=2, concat=False,
                  dropout_p=0.0, mask_dtype="int8")
-    assert m_int8._static_mask.dtype == jnp.int8
+    assert m_int8.forward_adj(params).dtype == jnp.int8
     np.testing.assert_array_equal(np.asarray(m_int8.apply(params, idx)),
                                   np.asarray(out_ref))
 

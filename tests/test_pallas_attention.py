@@ -1,0 +1,89 @@
+"""Flash masked-attention kernel: interpret-mode exactness vs the dense
+oracle, custom-VJP gradients, and GATConv integration."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from laplace_gnn_tpu.models.layers import _masked_attention_dense
+from laplace_gnn_tpu.ops.pallas_attention import (_flash_fwd_pallas,
+                                                  flash_masked_attention)
+
+
+def setup(n=70, H=3, F=5, seed=0, iso=True):
+    rng = np.random.default_rng(seed)
+    a = (rng.random((n, n)) < 0.15).astype(np.float32)
+    adj = np.minimum(a + a.T + np.eye(n, dtype=np.float32), 1.0)
+    if iso:                       # one fully isolated target row
+        adj[5, :] = 0.0
+    h = jnp.asarray(rng.standard_normal((n, H, F)), jnp.float32)
+    a_src = jnp.asarray(rng.standard_normal((n, H)), jnp.float32)
+    a_dst = jnp.asarray(rng.standard_normal((n, H)), jnp.float32)
+    return a_src, a_dst, jnp.asarray(adj), h
+
+
+def test_flash_kernel_interpret_matches_dense():
+    """Online-softmax recurrence == two-pass masked softmax, including
+    ragged edges (n=70 with bm=16/bn=128 blocks), -inf masking, and the
+    all-masked (isolated) row."""
+    a_src, a_dst, adj, h = setup()
+    ref = _masked_attention_dense(a_src, a_dst, adj, h, 0.2)
+    out = _flash_fwd_pallas(a_src, a_dst, adj, h, negative_slope=0.2,
+                            bm=16, bn=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-6)
+    assert float(jnp.abs(out[5]).max()) == 0.0       # isolated row -> 0
+
+
+def test_flash_kernel_interpret_int8_mask():
+    """The kernel reads the adjacency only through adj > 0: an int8 mask
+    input gives identical output."""
+    a_src, a_dst, adj, h = setup(seed=1)
+    ref = _flash_fwd_pallas(a_src, a_dst, adj, h, negative_slope=0.2,
+                            bm=16, bn=128, interpret=True)
+    out = _flash_fwd_pallas(a_src, a_dst, (adj > 0).astype(jnp.int8), h,
+                            negative_slope=0.2, bm=16, bn=128,
+                            interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_flash_custom_vjp_matches_dense_grads():
+    """The public entry's backward (XLA recompute) equals the dense path's
+    gradients; d/d_adj is the structural zero."""
+    a_src, a_dst, adj, h = setup(seed=2)
+
+    def loss_flash(a_s, a_d, adj_, hh):
+        return jnp.sum(flash_masked_attention(a_s, a_d, adj_, hh, 0.2) ** 2)
+
+    def loss_dense(a_s, a_d, adj_, hh):
+        return jnp.sum(_masked_attention_dense(a_s, a_d, adj_, hh, 0.2) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(a_src, a_dst, adj, h)
+    gd = jax.grad(loss_dense, argnums=(0, 1, 3))(a_src, a_dst, adj, h)
+    np.testing.assert_allclose(np.asarray(gf[0]), np.asarray(gd[0]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gf[1]), np.asarray(gd[1]),
+                               rtol=1e-5, atol=1e-6)
+    assert float(jnp.abs(gf[2]).max()) == 0.0
+    np.testing.assert_allclose(np.asarray(gf[3]), np.asarray(gd[2]),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_gatconv_flash_option():
+    """GATConv(attention_impl='flash') is a drop-in (CPU falls back to the
+    XLA path inside the custom-vjp entry, so this runs everywhere)."""
+    from laplace_gnn_tpu.models.layers import GATConv
+    a_src, a_dst, adj, h = setup(seed=3)
+    n = adj.shape[0]
+    x = jnp.asarray(np.random.default_rng(4).standard_normal((n, 6)),
+                    jnp.float32)
+    conv_ref = GATConv(6, 5, heads=3, concat=False)
+    conv_fl = GATConv(6, 5, heads=3, concat=False,
+                      attention_impl="flash")
+    params = conv_ref.init(jax.random.PRNGKey(0), jnp.float32)
+    out_ref = conv_ref.apply(params, adj, x)
+    out_fl = conv_fl.apply(params, adj, x)
+    np.testing.assert_allclose(np.asarray(out_fl), np.asarray(out_ref),
+                               rtol=1e-5, atol=1e-6)
