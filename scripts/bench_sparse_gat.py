@@ -121,13 +121,15 @@ def main():
             acc, _ = jax.lax.fori_loop(0, K, body, (jnp.float32(0), params))
             return acc
 
+        n_probes = int(os.environ.get("SGAT_PROBES", "8"))
+
         def nm_of_logprior(lp, params):
-            # diag_probes: the attention-parameter diagonal via 8 Hutchinson
+            # diag_probes: the attention-parameter diagonal via k Hutchinson
             # vjps instead of ~900 exact tangent passes (curvature/kfac.py
             # ::_mixed_diag_blocks — the exact path OOMs at this scale)
             fn = make_neg_marglik_fn(
                 model, "classification", "kron", "all", N=N,
-                fisher_type="mc", diag_probes=8,
+                fisher_type="mc", diag_probes=n_probes,
                 prior_precision=jnp.exp(lp))
             return fn(params, None, y)
 
@@ -146,9 +148,11 @@ def main():
             return acc
 
         stages = [("fwd", fwd_loop, 20), ("train", train_loop, 10),
-                  ("hyperstep_mc", hyper_loop, 10)]
+                  (f"hyperstep_mc_p{n_probes}", hyper_loop, 10)]
         if os.environ.get("SGAT_SKIP_HYPER"):
             stages = stages[:2]
+        if os.environ.get("SGAT_ONLY_HYPER"):
+            stages = stages[2:]
         for name, loop, K in stages:
             try:
                 t0 = time.perf_counter()
@@ -174,7 +178,9 @@ def main():
             blob = json.load(f)
     blob.setdefault("shape", {"N": N, "E": g0.n_edges, "hidden": HIDDEN,
                               "heads": HEADS, "layers": LAYERS, "C": C})
-    blob.setdefault("results", {}).update(results)
+    res = blob.setdefault("results", {})
+    for tag, row in results.items():
+        res.setdefault(tag, {}).update(row)
     with open(out_fn, "w") as f:
         json.dump(blob, f, indent=1)
     log(f"wrote {out_fn}")
