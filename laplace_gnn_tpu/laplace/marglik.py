@@ -45,14 +45,23 @@ def marglik_training(model, params, train_loader,
                      temperature: float = 1.0,
                      fix_sigma_noise: bool = False,
                      enable_backprop: bool = False,
+                     dict_key_x: str = "input_ids",
+                     dict_key_y: str = "labels",
                      seed: int = 0,
                      progress_bar: bool = False):
     """Returns (la, params, margliks, losses) — the fitted Laplace on the
     best-marglik weights, the weights, and the traces
     (reference laplace/marglik_training.py:34-358)."""
+    from collections.abc import MutableMapping
     loss_fn = get_loss_fn(likelihood)
     factor = likelihood_factor(likelihood)
-    N = dataset_size(train_loader)
+    N = dataset_size(train_loader, dict_key_y=dict_key_y)
+
+    def unpack(data):
+        # HF-style dict batches (reference marglik_training.py:227)
+        if isinstance(data, MutableMapping):
+            return data, data[dict_key_y]
+        return data
 
     mask = posterior_mask(params)
     w0, frozen = split_by_mask(params, mask)
@@ -124,7 +133,8 @@ def marglik_training(model, params, train_loader,
 
     for epoch in range(1, n_epochs + 1):
         epoch_loss = 0.0
-        for X, y in train_loader:
+        for data in train_loader:
+            X, y = unpack(data)
             w, opt_state, l = train_step(w, opt_state, X, y, log_prior_prec,
                                          log_sigma)
             epoch_loss += float(l)
@@ -142,6 +152,7 @@ def marglik_training(model, params, train_loader,
                      hessian_structure=hessian_structure,
                      sigma_noise=sigma,
                      prior_precision=jnp.exp(log_prior_prec),
+                     dict_key_x=dict_key_x, dict_key_y=dict_key_y,
                      temperature=temperature, backend=backend)
         la.fit(train_loader)
         for _ in range(n_hypersteps):
@@ -175,6 +186,7 @@ def marglik_training(model, params, train_loader,
     la = Laplace(model, full_params, likelihood,
                  subset_of_weights="all", hessian_structure=hessian_structure,
                  sigma_noise=sigma, prior_precision=best["pp"],
+                 dict_key_x=dict_key_x, dict_key_y=dict_key_y,
                  temperature=temperature, backend=backend)
     la.fit(train_loader)
     return la, full_params, margliks, losses

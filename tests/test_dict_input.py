@@ -140,3 +140,20 @@ def test_optimize_prior_precision_cv_with_dict_loader():
     la.optimize_prior_precision(method="gridsearch", val_loader=loader,
                                 grid_size=3)
     assert float(la.prior_precision[0]) > 0
+
+
+def test_marglik_training_with_dict_loader():
+    """The library-level online marglik loop (reference
+    marglik_training.py:227 dict unpacking) accepts mapping batches."""
+    from laplace_gnn_tpu.laplace import marglik_training
+    X, y = make_data(seed=5)
+    base = MLP([D, H, C], act="tanh")
+    params = base.init(jax.random.PRNGKey(4))
+    model = DictInputModel(base)
+    loader = ArrayLoader({"input_ids": X, "labels": y}, batch_size=10)
+    la, pf, margliks, losses = marglik_training(
+        model, params, loader, n_epochs=6, marglik_frequency=2,
+        n_hypersteps=2)
+    assert len(margliks) >= 2 and np.isfinite(margliks[-1])
+    probs = la({"input_ids": X[:5]}, pred_type="glm", link_approx="probit")
+    np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, atol=1e-6)
