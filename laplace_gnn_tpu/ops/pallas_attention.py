@@ -106,14 +106,18 @@ def _flash_fwd_pallas(alpha_src, alpha_dst, adj, h,
                       negative_slope: float = 0.2,
                       bm: int = 256, bn: int = 512,
                       interpret: bool = False, attn_dtype=None):
-    """(N, H) scores material + (N, N) adjacency + (N, H, F) values ->
-    (N, H, F) attention output, never materializing anything (N, N)-by-H
-    shaped in HBM."""
+    """(N, H)/(R, H) scores material + (R, N) adjacency + (N, H, F)
+    values -> (R, H, F) attention output, never materializing anything
+    (R, N)-by-H shaped in HBM. ``adj``/``alpha_dst`` may cover only
+    R <= N target rows (a row shard — the same contract as the XLA
+    chunked path, so this drops into
+    parallel/sharded.py::make_row_sharded_gat_attention)."""
     n, H, F = h.shape
-    bm = min(bm, _round_to(n, 8))
+    R = adj.shape[0]
+    bm = min(bm, _round_to(R, 8))
     bn = min(bn, _round_to(n, 128))
     Fp = _round_to(F, 128)
-    n_i, n_j = pl.cdiv(n, bm), pl.cdiv(n, bn)
+    n_i, n_j = pl.cdiv(R, bm), pl.cdiv(n, bn)
 
     # head-major layouts: lane dimension = the blocked node axis. The
     # small operands are explicitly ZERO-padded to whole blocks: Pallas
@@ -123,7 +127,7 @@ def _flash_fwd_pallas(alpha_src, alpha_dst, adj, h,
     # be finite. (The O(N^2) adjacency is NOT padded — its garbage only
     # feeds `a > 0` comparisons and sliced-off output rows.)
     pad_j = n_j * bn - n
-    pad_i = n_i * bm - n
+    pad_i = n_i * bm - R
     asrc_t = jnp.pad(alpha_src.T, ((0, 0), (0, pad_j)))   # (H, Njp)
     adst_t = jnp.pad(alpha_dst.T, ((0, 0), (0, pad_i)))   # (H, Nip)
     h_t = jnp.moveaxis(h, 1, 0)                           # (H, N, F)
@@ -158,7 +162,7 @@ def _flash_fwd_pallas(alpha_src, alpha_dst, adj, h,
             transcendentals=n * n * H),
         interpret=interpret,
     )(adj, asrc_t, adst_t, h_t)
-    return jnp.moveaxis(out[:, :n, :F], 0, 1)         # (N, H, F)
+    return jnp.moveaxis(out[:, :R, :F], 0, 1)         # (R, H, F)
 
 
 def _xla_reference(alpha_src, alpha_dst, adj, h, negative_slope):

@@ -572,7 +572,8 @@ class HaloAggGraph:
         return self._gat(h, att_src, att_dst, negative_slope)
 
 
-def make_row_sharded_gat_attention(mesh: Mesh, row_block: Optional[int] = 512):
+def make_row_sharded_gat_attention(mesh: Mesh, row_block: Optional[int] = 512,
+                                   use_flash: bool = False):
     """Row-partitioned DENSE-adjacency GAT attention under shard_map — the
     scaling path for dense GAT *structure learning*, where the adjacency is
     the learnable N x N object (the sparse halo GAT above serves fixed
@@ -609,6 +610,14 @@ def make_row_sharded_gat_attention(mesh: Mesh, row_block: Optional[int] = 512):
                                        tiled=True)            # (N, H)
             h_full = jax.lax.all_gather(h_blk, "graph", axis=0,
                                         tiled=True)           # (N, H, F)
+            if use_flash:
+                # fused online-softmax Pallas kernel per device block
+                # (ops/pallas_attention; falls back to the XLA path on
+                # CPU meshes) — the kernel accepts the same R <= N
+                # row-shard contract
+                from ..ops.pallas_attention import flash_masked_attention
+                return flash_masked_attention(a_src, a_dst_blk, adj_blk,
+                                              h_full, negative_slope)
             if row_block and row_block < adj_blk.shape[0]:
                 return _masked_attention_chunked(
                     a_src, a_dst_blk, adj_blk, h_full, negative_slope,
