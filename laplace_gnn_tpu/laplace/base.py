@@ -67,8 +67,13 @@ class BaseLaplace:
                           if likelihood == Likelihood.REWARD_MODELING.value
                           else likelihood)
         backend_cls = backend or self._default_backend()
+        # curvature products are jvp-based and cannot trace through the
+        # flash attention kernel's custom_vjp; the backend gets a clone
+        # routed through the (mathematically identical) XLA attention,
+        # while self.model keeps the fused kernel for predictions
+        curv_model = model.jvp_safe() if hasattr(model, "jvp_safe") else model
         self.backend: CurvatureBackend = backend_cls(
-            model, params, fit_likelihood, exclude=exclude,
+            curv_model, params, fit_likelihood, exclude=exclude,
             **self._backend_extra(), **(backend_kwargs or {}))
 
         self.n_params = self.backend.n_params

@@ -128,6 +128,35 @@ class BaseGNN:
         """Raw learned adjacency (reference gnn/models/base_gnn.py:133)."""
         return params["adj"]
 
+    def jvp_safe(self) -> "BaseGNN":
+        """Clone whose attention convs route through the XLA chunked
+        attention instead of the flash Pallas kernel.
+
+        ``flash_masked_attention`` is a ``jax.custom_vjp`` — forward-mode
+        ``jax.jvp``, the substrate of every curvature product
+        (curvature/operators.py, curvature/kfac.py), cannot trace through
+        it. Curvature/marglik builders call this before closing over the
+        model; training/inference keep the fused kernel. The two paths
+        compute identical math, so mixing them inside one hyperstep is
+        exact (not an approximation swap). Returns ``self`` when no conv
+        uses a custom attention impl."""
+        import copy
+        convs = getattr(self, "convs", [])
+        if not any(getattr(c, "attention_impl", None) is not None
+                   for c in convs):
+            return self
+        m = copy.copy(self)
+        # a shallow copy would share the jitted-program cache; its keys do
+        # not encode attention_impl, so give the clone a fresh one
+        m.__dict__.pop("_jit_program_cache", None)
+        m.convs = []
+        for c in convs:
+            if getattr(c, "attention_impl", None) is not None:
+                c = copy.copy(c)
+                c.attention_impl = None
+            m.convs.append(c)
+        return m
+
     def reset_adj(self, params: dict) -> dict:
         out = dict(params)
         out["adj"] = self.init_adj.astype(params["adj"].dtype)

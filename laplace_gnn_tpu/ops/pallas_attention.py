@@ -24,12 +24,20 @@ Masked scores are -inf (so their p is exactly 0); the running max is
 floored at -1e30 so corrections stay finite; rows with no neighbors end
 with l = 0 and emit zero rows — identical semantics to the XLA path.
 
-The public entry (:func:`flash_masked_attention`) is a ``jax.custom_vjp``
-whose backward recomputes gradients through the XLA chunked implementation
-(same math, exact composite gradients incl. the structural zero into the
-adjacency — attention reads the adjacency only through ``adj > 0``, matching
-reference gnn/models/layers.py:101-124 where GAT never updates its
-adjacency). It is a drop-in for ``GATConv(attention_impl=...)``.
+The public entry (:func:`flash_masked_attention`) is a ``jax.custom_vjp``.
+On TPU the backward is a second fused Pallas kernel (:func:`_flash_bwd_pallas`)
+in the standard flash-attention-backward form: the forward saves the per-row
+softmax statistics (running max ``m`` and denominator ``l``, O(N*H) bytes);
+the backward recomputes the normalized attention weights tile-by-tile from
+``exp(act - m) / l``, forms ``dp = g @ h^T`` and ``dh += p^T @ g`` on the MXU
+per tile, and applies the softmax correction ``ds = p * (dp - D)`` with
+``D = rowsum(g * out)`` — so the reverse pass, like the forward, never
+materializes anything (N, N)-by-H shaped and never re-runs a two-pass XLA
+softmax. Gradients are exact (incl. the structural zero into the adjacency —
+attention reads the adjacency only through ``adj > 0``, matching reference
+gnn/models/layers.py:101-124 where GAT never updates its adjacency). On CPU
+both directions fall back to the XLA chunked path. It is a drop-in for
+``GATConv(attention_impl=...)``.
 """
 
 from __future__ import annotations
@@ -49,6 +57,7 @@ def _round_to(x: int, m: int) -> int:
 
 
 def _flash_kernel(adj_ref, asrc_ref, adst_ref, h_ref, out_ref,
+                  m_out_ref, l_out_ref,
                   m_ref, l_ref, acc_ref, *, n_j: int, bm: int, bn: int,
                   negative_slope: float, n: int, attn_dtype):
     i, j = pl.program_id(0), pl.program_id(1)
@@ -97,21 +106,26 @@ def _flash_kernel(adj_ref, asrc_ref, adst_ref, h_ref, out_ref,
         l = l_ref[:]
         out = acc_ref[:] / jnp.where(l == 0, 1.0, l)[:, :, None]
         out_ref[:] = out.astype(out_ref.dtype)
+        # softmax statistics for the fused backward kernel (O(N*H) bytes)
+        m_out_ref[:] = m_ref[:]
+        l_out_ref[:] = l_ref[:]
 
 
 @functools.partial(jax.jit,
                    static_argnames=("negative_slope", "bm", "bn",
                                     "interpret", "attn_dtype"))
-def _flash_fwd_pallas(alpha_src, alpha_dst, adj, h,
-                      negative_slope: float = 0.2,
-                      bm: int = 256, bn: int = 512,
-                      interpret: bool = False, attn_dtype=None):
+def _flash_fwd_pallas_aux(alpha_src, alpha_dst, adj, h,
+                          negative_slope: float = 0.2,
+                          bm: int = 256, bn: int = 512,
+                          interpret: bool = False, attn_dtype=None):
     """(N, H)/(R, H) scores material + (R, N) adjacency + (N, H, F)
-    values -> (R, H, F) attention output, never materializing anything
-    (R, N)-by-H shaped in HBM. ``adj``/``alpha_dst`` may cover only
-    R <= N target rows (a row shard — the same contract as the XLA
-    chunked path, so this drops into
-    parallel/sharded.py::make_row_sharded_gat_attention)."""
+    values -> ((R, H, F) attention output, (H, Rp) row max m, (H, Rp)
+    denominator l), never materializing anything (R, N)-by-H shaped in
+    HBM. ``adj``/``alpha_dst`` may cover only R <= N target rows (a row
+    shard — the same contract as the XLA chunked path, so this drops into
+    parallel/sharded.py::make_row_sharded_gat_attention). The (m, l)
+    softmax statistics feed :func:`_flash_bwd_pallas`; padded rows carry
+    m = -1e30, l = 0."""
     n, H, F = h.shape
     R = adj.shape[0]
     bm = min(bm, _round_to(R, 8))
@@ -133,7 +147,7 @@ def _flash_fwd_pallas(alpha_src, alpha_dst, adj, h,
     h_t = jnp.moveaxis(h, 1, 0)                           # (H, N, F)
     h_t = jnp.pad(h_t, ((0, 0), (0, pad_j), (0, Fp - F)))
 
-    out = pl.pallas_call(
+    out, m, l = pl.pallas_call(
         functools.partial(_flash_kernel, n_j=n_j, bm=bm, bn=bn,
                           negative_slope=negative_slope, n=n,
                           attn_dtype=(jnp.dtype(attn_dtype)
@@ -149,9 +163,15 @@ def _flash_fwd_pallas(alpha_src, alpha_dst, adj, h,
             pl.BlockSpec((H, bn, Fp), lambda i, j: (0, j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((H, bm, Fp), lambda i, j: (0, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((H, n_i * bm, Fp), h.dtype),
+        out_specs=[pl.BlockSpec((H, bm, Fp), lambda i, j: (0, i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((H, bm), lambda i, j: (0, i),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((H, bm), lambda i, j: (0, i),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((H, n_i * bm, Fp), h.dtype),
+                   jax.ShapeDtypeStruct((H, n_i * bm), jnp.float32),
+                   jax.ShapeDtypeStruct((H, n_i * bm), jnp.float32)],
         scratch_shapes=[pltpu.VMEM((H, bm), jnp.float32),
                         pltpu.VMEM((H, bm), jnp.float32),
                         pltpu.VMEM((H, bm, Fp), jnp.float32)],
@@ -162,7 +182,176 @@ def _flash_fwd_pallas(alpha_src, alpha_dst, adj, h,
             transcendentals=n * n * H),
         interpret=interpret,
     )(adj, asrc_t, adst_t, h_t)
-    return jnp.moveaxis(out[:, :R, :F], 0, 1)         # (R, H, F)
+    return jnp.moveaxis(out[:, :R, :F], 0, 1), m, l   # (R, H, F), 2x (H, Rp)
+
+
+def _flash_fwd_pallas(alpha_src, alpha_dst, adj, h,
+                      negative_slope: float = 0.2,
+                      bm: int = 256, bn: int = 512,
+                      interpret: bool = False, attn_dtype=None):
+    return _flash_fwd_pallas_aux(alpha_src, alpha_dst, adj, h,
+                                 negative_slope=negative_slope, bm=bm, bn=bn,
+                                 interpret=interpret,
+                                 attn_dtype=attn_dtype)[0]
+
+
+def _flash_bwd_kernel(adj_ref, asrc_ref, adst_ref, h_ref, g_ref,
+                      m_ref, linv_ref, d_ref,
+                      dh_ref, dasrc_ref, dadst_ref,
+                      dh_acc, dasrc_acc, *, n_i: int, bm: int, bn: int,
+                      negative_slope: float, n: int, r: int, attn_dtype):
+    """One (source-block j, target-block i) tile of the flash backward.
+
+    Grid is (n_j, n_i) with the TARGET axis inner, so ``dh`` and
+    ``da_src`` — both source-indexed — accumulate in VMEM scratch across
+    the i sweep and are written once per j block. ``da_dst`` (target-
+    indexed, accumulated over j = the OUTER axis) is written as per-(j, i)
+    partials and reduced outside the kernel (n_j * H * N floats ~ 17 MB at
+    N=16384 — trivial next to the O(N^2) adjacency read)."""
+    j, i = pl.program_id(0), pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        dh_acc[:] = jnp.zeros_like(dh_acc)
+        dasrc_acc[:] = jnp.zeros_like(dasrc_acc)
+
+    a = adj_ref[:]                                   # (bm, bn)
+    if not jnp.issubdtype(a.dtype, jnp.floating):
+        a = a.astype(jnp.float32)
+    col_ids = j * bn + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 1)
+    row_ids = i * bm + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 0)
+    # row_ids < r guards the adjacency's OOB-garbage padded target rows:
+    # in the forward those rows only ever reached sliced-off outputs, but
+    # here an unmasked garbage row would pollute the dh/da_src sums
+    valid = (a > 0) & (col_ids < n) & (row_ids < r)  # (bm, bn)
+
+    a_src = asrc_ref[:].astype(jnp.float32)          # (H, bn)
+    a_dst = adst_ref[:].astype(jnp.float32)          # (H, bm)
+    z = a_src[:, None, :] + a_dst[:, :, None]        # (H, bm, bn)
+    act = jnp.where(z >= 0, z, negative_slope * z)
+    dact = jnp.where(z >= 0, 1.0, negative_slope)
+    m = m_ref[:]                                     # (H, bm)
+    linv = linv_ref[:]                               # (H, bm); 0 if l == 0
+    # exponent forced to -inf on invalid entries BEFORE exp: padded rows
+    # carry m = -1e30, so a finite act there would overflow exp and the
+    # resulting inf * linv(=0) would be NaN, not 0
+    e = jnp.exp(jnp.where(valid[None, :, :],
+                          act - m[:, :, None], -jnp.inf))
+    p = e * linv[:, :, None]                         # normalized weights
+
+    cd = attn_dtype or h_ref.dtype
+    g = g_ref[:]                                     # (H, bm, F)
+    h = h_ref[:]                                     # (H, bn, F)
+    # dp[h,m,n] = g[h,m,:] . h[h,n,:]  (MXU, F-contraction)
+    dp = jax.lax.dot_general(
+        g.astype(cd), h.astype(cd),
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)          # (H, bm, bn)
+    ds = p * (dp - d_ref[:][:, :, None])             # softmax correction
+    dz = ds * dact
+    dadst_ref[0] = jnp.sum(dz, axis=2)               # (H, bm) partial
+    dasrc_acc[:] += jnp.sum(dz, axis=1)              # (H, bn)
+    # dh[h,n,:] += sum_m p[h,m,n] * g[h,m,:]  (MXU, bm-contraction)
+    dh_acc[:] += jax.lax.dot_general(
+        p.astype(cd), g.astype(cd),
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)          # (H, bn, F)
+
+    @pl.when(i == n_i - 1)
+    def _():
+        dh_ref[:] = dh_acc[:].astype(dh_ref.dtype)
+        dasrc_ref[:] = dasrc_acc[:].astype(dasrc_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("negative_slope", "bm", "bn",
+                                    "interpret", "attn_dtype"))
+def _flash_bwd_pallas(alpha_src, alpha_dst, adj, h, g, out, m, l,
+                      negative_slope: float = 0.2,
+                      bm: int = 256, bn: int = 256,
+                      interpret: bool = False, attn_dtype=None):
+    # default tiles measured at N=16384/H=8/F=64: 22.8 ms (256x256) vs
+    # 23.8 (128x256), 43.2 (256x128); 128x512/384x256 exceed VMEM
+    """Fused reverse pass: (cotangent g (R, H, F), forward output ``out``,
+    saved softmax stats (m, l) from :func:`_flash_fwd_pallas_aux`) ->
+    (d_alpha_src (N, H), d_alpha_dst (R, H), d_h (N, H, F)). Same
+    tiling/layout contract as the forward; two MXU dots per tile; nothing
+    (R, N)-by-H in HBM."""
+    n, H, F = h.shape
+    R = adj.shape[0]
+    bm = min(bm, _round_to(R, 8))
+    bn = min(bn, _round_to(n, 128))
+    Fp = _round_to(F, 128)
+    n_i, n_j = pl.cdiv(R, bm), pl.cdiv(n, bn)
+    pad_j = n_j * bn - n
+    pad_i = n_i * bm - R
+
+    asrc_t = jnp.pad(alpha_src.T, ((0, 0), (0, pad_j)))   # (H, Njp)
+    adst_t = jnp.pad(alpha_dst.T, ((0, 0), (0, pad_i)))   # (H, Nip)
+    h_t = jnp.moveaxis(h, 1, 0)                           # (H, N, F)
+    h_t = jnp.pad(h_t, ((0, 0), (0, pad_j), (0, Fp - F)))
+    g_t = jnp.moveaxis(g, 1, 0).astype(jnp.float32)       # (H, R, F)
+    g_t = jnp.pad(g_t, ((0, 0), (0, pad_i), (0, Fp - F)))
+    # per-(row, head) softmax-correction scalar D = rowsum(g * out) and
+    # the inverse denominator (0 for neighborless rows -> all-zero grads,
+    # matching the XLA path's where(denom==0) semantics)
+    d_t = jnp.pad(jnp.sum(g.astype(jnp.float32)
+                          * out.astype(jnp.float32), axis=-1).T,
+                  ((0, 0), (0, pad_i)))                   # (H, Nip)
+    # re-pad the forward's (H, Rp) statistics to THIS call's block grid
+    # (robust to fwd/bwd using different bm)
+    m = jnp.pad(m[:, :R], ((0, 0), (0, pad_i)), constant_values=_NEG_BIG)
+    l = jnp.pad(l[:, :R], ((0, 0), (0, pad_i)))
+    linv = jnp.where(l > 0, 1.0 / jnp.where(l > 0, l, 1.0), 0.0)
+
+    dh_t, dasrc_t, dadst_parts = pl.pallas_call(
+        functools.partial(_flash_bwd_kernel, n_i=n_i, bm=bm, bn=bn,
+                          negative_slope=negative_slope, n=n, r=R,
+                          attn_dtype=(jnp.dtype(attn_dtype)
+                                      if attn_dtype else None)),
+        grid=(n_j, n_i),
+        in_specs=[
+            pl.BlockSpec((bm, bn), lambda j, i: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, bn), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, bm), lambda j, i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, bn, Fp), lambda j, i: (0, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, bm, Fp), lambda j, i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, bm), lambda j, i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, bm), lambda j, i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, bm), lambda j, i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((H, bn, Fp), lambda j, i: (0, j, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((H, bn), lambda j, i: (0, j),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, H, bm), lambda j, i: (j, 0, i),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((H, n_j * bn, Fp), jnp.float32),
+                   jax.ShapeDtypeStruct((H, n_j * bn), jnp.float32),
+                   jax.ShapeDtypeStruct((n_j, H, n_i * bm), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((H, bn, Fp), jnp.float32),
+                        pltpu.VMEM((H, bn), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n * R * H * Fp + 12 * n * R * H,
+            bytes_accessed=n * R * adj.dtype.itemsize
+            + 2 * n * H * Fp * h.dtype.itemsize,
+            transcendentals=n * R * H),
+        interpret=interpret,
+    )(adj, asrc_t, adst_t, h_t, g_t, m, linv, d_t)
+
+    g_asrc = dasrc_t[:, :n].T.astype(alpha_src.dtype)          # (N, H)
+    g_adst = jnp.sum(dadst_parts, axis=0)[:, :R].T \
+        .astype(alpha_dst.dtype)                               # (R, H)
+    g_h = jnp.moveaxis(dh_t[:, :n, :F], 0, 1).astype(h.dtype)  # (N, H, F)
+    return g_asrc, g_adst, g_h
 
 
 def _xla_reference(alpha_src, alpha_dst, adj, h, negative_slope):
@@ -182,9 +371,10 @@ def flash_masked_attention(alpha_src, alpha_dst, adj, h,
                            attn_dtype=None):
     """Fused masked GAT attention; signature matches GATConv's
     ``attention_impl`` hook. Forward = Pallas flash kernel on TPU (XLA
-    fallback elsewhere); backward = exact gradients recomputed through the
-    XLA chunked path (whose checkpointed blocks re-derive the scores, so
-    the backward stores nothing (N, N, H)-shaped either)."""
+    fallback elsewhere); backward = fused Pallas flash-backward kernel
+    (:func:`_flash_bwd_pallas`) reusing the forward's saved (m, l)
+    softmax statistics — exact gradients, no XLA recompute, nothing
+    (N, N, H)-shaped in either direction."""
     if jax.default_backend() in ("cpu",):
         return _xla_reference(alpha_src, alpha_dst, adj, h, negative_slope)
     return _flash_fwd_pallas(alpha_src, alpha_dst, adj, h,
@@ -193,18 +383,28 @@ def flash_masked_attention(alpha_src, alpha_dst, adj, h,
 
 
 def _fma_fwd(alpha_src, alpha_dst, adj, h, negative_slope, attn_dtype):
-    out = flash_masked_attention(alpha_src, alpha_dst, adj, h,
-                                 negative_slope, attn_dtype)
-    return out, (alpha_src, alpha_dst, adj, h)
+    if jax.default_backend() in ("cpu",):
+        out = _xla_reference(alpha_src, alpha_dst, adj, h, negative_slope)
+        return out, (alpha_src, alpha_dst, adj, h, None, None, None)
+    out, m, l = _flash_fwd_pallas_aux(alpha_src, alpha_dst, adj, h,
+                                      negative_slope=negative_slope,
+                                      attn_dtype=attn_dtype)
+    return out, (alpha_src, alpha_dst, adj, h, out, m, l)
 
 
 def _fma_bwd(negative_slope, attn_dtype, res, g):
-    alpha_src, alpha_dst, adj, h = res
-    _, vjp = jax.vjp(
-        lambda a_s, a_d, hh: _xla_reference(a_s, a_d, adj, hh,
-                                            negative_slope),
-        alpha_src, alpha_dst, h)
-    g_as, g_ad, g_h = vjp(g)
+    alpha_src, alpha_dst, adj, h, out, m, l = res
+    if m is None:
+        # CPU fallback: exact gradients through the XLA chunked path
+        _, vjp = jax.vjp(
+            lambda a_s, a_d, hh: _xla_reference(a_s, a_d, adj, hh,
+                                                negative_slope),
+            alpha_src, alpha_dst, h)
+        g_as, g_ad, g_h = vjp(g)
+    else:
+        g_as, g_ad, g_h = _flash_bwd_pallas(
+            alpha_src, alpha_dst, adj, h, g, out, m, l,
+            negative_slope=negative_slope, attn_dtype=attn_dtype)
     # adjacency enters only through the boolean mask: structural zero
     return g_as, g_ad, jnp.zeros_like(adj), g_h
 

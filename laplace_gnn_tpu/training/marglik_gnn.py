@@ -78,6 +78,10 @@ def make_neg_marglik_fn(model, likelihood: str, hessian_structure: str,
     # run mixed-structure KFAC: Kron blocks for the Linear sites + exact
     # curvature-diagonal blocks for the rest (the reference crashes on this
     # combination, curvlinops/kfac.py:130).
+    # Curvature products run on forward-mode jvp, which cannot trace
+    # through the flash kernel's custom_vjp — swap any flash-attention
+    # convs to the mathematically identical XLA chunked path here
+    model = model.jvp_safe() if hasattr(model, "jvp_safe") else model
     # H_factor = 1/sigma^2/temperature, exactly as BaseLaplace._H_factor
     # (laplace/base.py; reference laplace/baselaplace.py:566-568) — so the
     # fused value below is pinned equal to

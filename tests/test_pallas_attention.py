@@ -135,3 +135,105 @@ def test_row_sharded_attention_use_flash_matches():
     for a_, b_ in zip(g_sh, g_rf):
         np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
                                    rtol=1e-8, atol=1e-10)
+
+
+def test_flash_bwd_kernel_interpret_matches_dense_grads():
+    """The fused Pallas backward (recompute-from-(m,l) + two MXU dots +
+    softmax correction) equals the dense path's gradients, including the
+    all-masked (isolated) row and ragged block edges."""
+    from laplace_gnn_tpu.ops.pallas_attention import (_flash_bwd_pallas,
+                                                      _flash_fwd_pallas_aux)
+    a_src, a_dst, adj, h = setup(seed=7)
+    out, m, l = _flash_fwd_pallas_aux(a_src, a_dst, adj, h,
+                                      negative_slope=0.2, bm=16, bn=128,
+                                      interpret=True)
+    g = jnp.asarray(np.random.default_rng(8).standard_normal(out.shape),
+                    jnp.float32)
+    g_as, g_ad, g_h = _flash_bwd_pallas(a_src, a_dst, adj, h, g, out, m, l,
+                                        negative_slope=0.2, bm=16, bn=128,
+                                        interpret=True)
+    _, vjp = jax.vjp(
+        lambda a_s, a_d, hh: _masked_attention_dense(a_s, a_d, adj, hh, 0.2),
+        a_src, a_dst, h)
+    r_as, r_ad, r_h = vjp(g)
+    np.testing.assert_allclose(np.asarray(g_as), np.asarray(r_as),
+                               rtol=3e-5, atol=3e-6)
+    np.testing.assert_allclose(np.asarray(g_ad), np.asarray(r_ad),
+                               rtol=3e-5, atol=3e-6)
+    np.testing.assert_allclose(np.asarray(g_h), np.asarray(r_h),
+                               rtol=3e-5, atol=3e-6)
+
+
+def test_flash_bwd_kernel_row_shard_and_mixed_blocks():
+    """Backward honors the R <= N row-shard contract, and re-pads the
+    forward's (m, l) when fwd/bwd block sizes differ."""
+    from laplace_gnn_tpu.ops.pallas_attention import (_flash_bwd_pallas,
+                                                      _flash_fwd_pallas_aux)
+    a_src, a_dst, adj, h = setup(seed=9, iso=False)
+    R = 40
+    out, m, l = _flash_fwd_pallas_aux(a_src, a_dst[:R], adj[:R], h,
+                                      negative_slope=0.2, bm=8, bn=128,
+                                      interpret=True)
+    g = jnp.asarray(np.random.default_rng(10).standard_normal(out.shape),
+                    jnp.float32)
+    g_as, g_ad, g_h = _flash_bwd_pallas(a_src, a_dst[:R], adj[:R], h, g,
+                                        out, m, l, negative_slope=0.2,
+                                        bm=16, bn=128, interpret=True)
+    _, vjp = jax.vjp(
+        lambda a_s, a_d, hh: _masked_attention_dense(a_s, a_d, adj[:R],
+                                                     hh, 0.2),
+        a_src, a_dst[:R], h)
+    r_as, r_ad, r_h = vjp(g)
+    assert g_ad.shape == (R, a_dst.shape[1])
+    np.testing.assert_allclose(np.asarray(g_as), np.asarray(r_as),
+                               rtol=3e-5, atol=3e-6)
+    np.testing.assert_allclose(np.asarray(g_ad), np.asarray(r_ad),
+                               rtol=3e-5, atol=3e-6)
+    np.testing.assert_allclose(np.asarray(g_h), np.asarray(r_h),
+                               rtol=3e-5, atol=3e-6)
+
+
+def test_flash_model_curvature_paths_jvp_safe():
+    """A GAT with attention_impl='flash' must not break the jvp-based
+    curvature stack: make_neg_marglik_fn and Laplace.fit swap to the XLA
+    attention clone (BaseGNN.jvp_safe) and match the plain model exactly."""
+    from laplace_gnn_tpu.laplace import Laplace
+    from laplace_gnn_tpu.models import GAT
+    from laplace_gnn_tpu.training.marglik_gnn import make_neg_marglik_fn
+    from laplace_gnn_tpu.utils.data import ArrayLoader
+
+    n, D, HID, C = 20, 6, 8, 3
+    rng = np.random.default_rng(11)
+    a = (rng.random((n, n)) < 0.3).astype(np.float32)
+    adj = np.minimum(a + a.T + np.eye(n, dtype=np.float32), 1.0)
+    X = rng.standard_normal((n, D)).astype(np.float32)
+    y = jnp.asarray(rng.integers(0, C, 12))
+    idx = jnp.arange(12)
+
+    kw = dict(heads=2, concat=False, dropout_p=0.0)
+    model_fl = GAT(D, HID, C, 2, X, adj, attention_impl="flash", **kw)
+    model_rf = GAT(D, HID, C, 2, X, adj, **kw)
+    params = model_fl.init(jax.random.PRNGKey(1))
+
+    # jvp_safe returns a distinct clone for the flash model, self otherwise
+    assert model_rf.jvp_safe() is model_rf
+    safe = model_fl.jvp_safe()
+    assert safe is not model_fl
+    assert all(c.attention_impl is None for c in safe.convs)
+    assert model_fl.convs[0].attention_impl == "flash"   # original untouched
+
+    # fused hyperstep value+grad agree with the plain model
+    for m in (model_fl, model_rf):
+        nm = make_neg_marglik_fn(m, "classification", "kron", "all",
+                                 N=12, prior_precision=0.7)
+        v, g = jax.value_and_grad(nm)(params, idx, y[:12])
+        if m is model_fl:
+            v_fl, g_fl = v, g
+        else:
+            np.testing.assert_allclose(float(v_fl), float(v), rtol=1e-6)
+
+    # Laplace class path fits without the custom-vjp jvp error
+    la = Laplace(model_fl, params, "classification",
+                 subset_of_weights="all", hessian_structure="kron")
+    la.fit(ArrayLoader(idx, y))
+    assert np.isfinite(float(la.log_marginal_likelihood()))
