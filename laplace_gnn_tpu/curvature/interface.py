@@ -182,7 +182,8 @@ class CurvatureBackend:
     def _kron(self, X, y, N: int, fisher_type: Optional[str] = None,
               mc_samples: int = 1, kfac_approx: str = "expand", seed: int = 0,
               column_chunk: Optional[int] = None, mixed_diag: bool = True,
-              sketch_size: int = 8, diag_probes: Optional[int] = None):
+              sketch_size: int = 8, diag_probes: Optional[int] = None,
+              probe_batch: Optional[int] = None):
         """Shared KFAC path (laplace/curvature/curvlinops.py:77-108):
         compute factors on this batch, rescale A by M/N, multiply by factor.
 
@@ -198,7 +199,7 @@ class CurvatureBackend:
             exclude=self.exclude, last_layer=self.last_layer,
             N=N, seed=seed, return_output=True, column_chunk=column_chunk,
             mixed_diag=mixed_diag, sketch_size=sketch_size,
-            diag_probes=diag_probes)
+            diag_probes=diag_probes, probe_batch=probe_batch)
         kron = kron * self.factor
         # reuse the factor-computation forward for the loss (one full-graph
         # forward total instead of three)
@@ -219,6 +220,7 @@ class GGNBackend(CurvatureBackend):
                  fisher_type: Optional[str] = None, sketch_size: int = 8,
                  column_chunk: Optional[int] = None,
                  diag_probes: Optional[int] = None,
+                 probe_batch: Optional[int] = None,
                  seed: int = 0, **kwargs):
         self.stochastic = stochastic
         self.mc_samples = mc_samples
@@ -226,6 +228,7 @@ class GGNBackend(CurvatureBackend):
         self.sketch_size = sketch_size
         self.column_chunk = column_chunk
         self.diag_probes = diag_probes
+        self.probe_batch = probe_batch
         self.seed = seed
         super().__init__(*args, **kwargs)
 
@@ -348,6 +351,7 @@ class GGNBackend(CurvatureBackend):
         kw.setdefault("sketch_size", self.sketch_size)
         kw.setdefault("column_chunk", self.column_chunk)
         kw.setdefault("diag_probes", self.diag_probes)
+        kw.setdefault("probe_batch", self.probe_batch)
         kw.setdefault("seed", self.seed)
         return self._kron(X, y, N, **kw)
 

@@ -103,7 +103,7 @@ def _name_to_path(name: str) -> tuple:
 
 def _mixed_diag_blocks(model, w, frozen, X, y, out, uncovered, fisher_type,
                        likelihood, mc_samples, seed, lossfunc,
-                       sketch_size=8, diag_probes=None):
+                       sketch_size=8, diag_probes=None, probe_batch=None):
     """Exact per-parameter curvature diagonal for posterior leaves outside
     every KFAC tap site (GAT attention vectors, GAT biases) — the diagonal
     counterpart of the KFAC B/A blocks, same Fisher semantics and scale.
@@ -197,8 +197,17 @@ def _mixed_diag_blocks(model, w, frozen, X, y, out, uncovered, fisher_type,
 
         # checkpointed sequential map: under the outer hyperstep
         # differentiation each probe's pullback chain is rematerialized
-        # instead of stored (same discipline as accumulate_B)
-        acc = jax.lax.map(jax.checkpoint(one_probe), zs)
+        # instead of stored (same discipline as accumulate_B).
+        # ``probe_batch`` vmaps that many probes per map step (identical
+        # numerics, pinned by test). MEASURED at arxiv-scale SparseGAT
+        # (BENCH_NOTES r5): batching LOSES — pb2 2.03 s vs sequential
+        # 1.32 s at 8 probes, pb8 OOMs ELL compiles — because the vmapped
+        # vjp's batched scatter falls off the dst-sorted segment lowering.
+        # Sequential (None) is therefore the default; the knob remains for
+        # workloads whose backward is launch- rather than scatter-bound.
+        acc = jax.lax.map(jax.checkpoint(one_probe), zs,
+                          batch_size=(min(probe_batch, diag_probes)
+                                      if probe_batch else None))
         diag_tree = jax.tree_util.tree_map(lambda a: jnp.mean(a, axis=0),
                                            acc)
         return {n: jnp.ravel(get_subtree(diag_tree, _name_to_path(n)))
@@ -236,7 +245,8 @@ def compute_kfac_factors(model, params, X, y, likelihood: str,
                          column_chunk: Optional[int] = None,
                          mixed_diag: bool = False,
                          sketch_size: int = 8,
-                         diag_probes: Optional[int] = None):
+                         diag_probes: Optional[int] = None,
+                         probe_batch: Optional[int] = None):
     """Compute KFAC factors for one batch (X, y); A normalized by ``N``
     (total dataset size — the M/N rescale of laplace/curvature/
     curvlinops.py:46-53 pre-applied). With ``return_output=True`` also
@@ -425,7 +435,8 @@ def compute_kfac_factors(model, params, X, y, likelihood: str,
         diags = _mixed_diag_blocks(model, w, frozen, X, y, out, uncovered,
                                    fisher_type, likelihood, mc_samples,
                                    seed, lossfunc, sketch_size=sketch_size,
-                                   diag_probes=diag_probes)
+                                   diag_probes=diag_probes,
+                                   probe_batch=probe_batch)
         for slot, (leaf_name, _) in zip(slots, uncovered):
             kfacs[slot] = [diags[leaf_name]]
     kron = Kron(kfacs)
@@ -450,7 +461,8 @@ class KFACOperator:
                  last_layer: bool = False, N: Optional[int] = None,
                  seed: int = 0, check_deterministic: bool = False,
                  mixed_diag: bool = False, sketch_size: int = 8,
-                 diag_probes: Optional[int] = None):
+                 diag_probes: Optional[int] = None,
+                 probe_batch: Optional[int] = None):
         self.model = model
         self.params = params
         self.data = list(data) if data is not None else None
@@ -459,6 +471,7 @@ class KFACOperator:
         self.mc_samples = mc_samples
         self.sketch_size = sketch_size
         self.diag_probes = diag_probes
+        self.probe_batch = probe_batch
         self.kfac_approx = kfac_approx
         self.exclude = exclude
         self.last_layer = last_layer
@@ -504,7 +517,8 @@ class KFACOperator:
                     last_layer=self.last_layer, N=self.N,
                     seed=self.seed + i, mixed_diag=self.mixed_diag,
                     sketch_size=self.sketch_size,
-                    diag_probes=self.diag_probes)
+                    diag_probes=self.diag_probes,
+                    probe_batch=self.probe_batch)
                 total = k if total is None else total + k
             self._kron = total
         return self._kron

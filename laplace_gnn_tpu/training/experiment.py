@@ -97,6 +97,13 @@ def argument_parser() -> argparse.ArgumentParser:
                         "lax.map chunk (None = fully vmapped)")
     p.add_argument("--mc_samples", type=int, default=1,
                    help="MC Fisher samples per fit")
+    p.add_argument("--diag_probes", type=int, default=None,
+                   help="mixed-structure KFAC (GAT/AttSTEGCN): Hutchinson "
+                        "probes for the attention-parameter diagonal "
+                        "instead of the exact per-parameter tangent passes")
+    p.add_argument("--probe_batch", type=int, default=None,
+                   help="vmapped probes per lax.map step (same numerics, "
+                        "amortized gather descriptors)")
     p.add_argument("--fisher_seed", type=int, default=0,
                    help="base PRNG seed for sketch/MC fisher estimators")
     return p
@@ -298,6 +305,8 @@ def run_experiment(args_dict: dict, verbose: bool = True) -> dict:
                         sketch_size=int(args_dict.get("sketch_size", 8)),
                         column_chunk=args_dict.get("column_chunk"),
                         mc_samples=int(args_dict.get("mc_samples", 1)),
+                        diag_probes=args_dict.get("diag_probes"),
+                        probe_batch=args_dict.get("probe_batch"),
                         fisher_seed=int(args_dict.get("fisher_seed", 0)),
                         learned_graphs_dir=learned_graphs_dir,
                         verbose=verbose)

@@ -62,6 +62,7 @@ def make_neg_marglik_fn(model, likelihood: str, hessian_structure: str,
                         sketch_size: int = 8,
                         mc_samples: int = 1,
                         diag_probes=None,
+                        probe_batch=None,
                         fisher_seed: int = 0) -> Callable:
     """Pure differentiable -log marglik of a freshly fit Laplace
     approximation, as a function of the *full* parameter pytree (gradients
@@ -201,6 +202,7 @@ def make_neg_marglik_fn(model, likelihood: str, hessian_structure: str,
                                    sketch_size=sketch_size,
                                    mc_samples=mc_samples,
                                    diag_probes=diag_probes,
+                                   probe_batch=probe_batch,
                                    seed=fisher_seed)
         else:
             closure = {"diag": backend.diag,
@@ -276,6 +278,7 @@ def _build_training_programs(model, params, *, lr, weight_decay, lr_adj,
                              prior_precision, N, model_type,
                              fisher_type="type-2", sketch_size=8,
                              column_chunk=None, mc_samples=1,
+                             diag_probes=None, probe_batch=None,
                              fisher_seed=0):
     """Optimizers + the four jitted programs of the eager marglik loop."""
     # PATIENCE and the params tree structure are baked into the compiled
@@ -286,7 +289,7 @@ def _build_training_programs(model, params, *, lr, weight_decay, lr_adj,
                       momentum_adj, grad_norm, hessian_structure,
                       subset_of_weights, prior_precision, N, model_type,
                       fisher_type, sketch_size, column_chunk, mc_samples,
-                      fisher_seed,
+                      diag_probes, probe_batch, fisher_seed,
                       PATIENCE, jax.tree_util.tree_structure(params))
     cache = _model_program_cache(model)
     if key is not None and key in cache:
@@ -307,6 +310,7 @@ def _build_training_programs(model, params, *, lr, weight_decay, lr_adj,
         model, "classification", hessian_structure, subset_of_weights, N,
         prior_precision, fisher_type=fisher_type, sketch_size=sketch_size,
         column_chunk=column_chunk, mc_samples=mc_samples,
+        diag_probes=diag_probes, probe_batch=probe_batch,
         fisher_seed=fisher_seed)
 
     @jax.jit
@@ -392,6 +396,8 @@ def marglik_optimization(model, params,
                          sketch_size: int = 8,
                          column_chunk: Optional[int] = None,
                          mc_samples: int = 1,
+                         diag_probes: Optional[int] = None,
+                         probe_batch: Optional[int] = None,
                          fisher_seed: int = 0,
                          learned_graphs_dir: Optional[str] = None,
                          verbose: bool = True,
@@ -426,7 +432,8 @@ def marglik_optimization(model, params,
         subset_of_weights=subset_of_weights, prior_precision=prior_precision,
         N=N, model_type=model_type, fisher_type=fisher_type,
         sketch_size=sketch_size, column_chunk=column_chunk,
-        mc_samples=mc_samples, fisher_seed=fisher_seed)
+        mc_samples=mc_samples, diag_probes=diag_probes,
+        probe_batch=probe_batch, fisher_seed=fisher_seed)
     train_step = progs["train_step"]
     hyperstep = progs["hyperstep"]
     neg_marglik_eval = progs["neg_marglik_eval"]
@@ -612,6 +619,8 @@ def marglik_optimization_scan(model, params,
                               sketch_size: int = 8,
                               column_chunk: Optional[int] = None,
                               mc_samples: int = 1,
+                              diag_probes: Optional[int] = None,
+                              probe_batch: Optional[int] = None,
                               fisher_seed: int = 0,
                               learned_graphs_dir: Optional[str] = None,
                               y=None):
@@ -661,6 +670,7 @@ def marglik_optimization_scan(model, params,
         early_stop=early_stop, model_type=model_type, N=N,
         fisher_type=fisher_type, sketch_size=sketch_size,
         column_chunk=column_chunk, mc_samples=mc_samples,
+        diag_probes=diag_probes, probe_batch=probe_batch,
         fisher_seed=fisher_seed, snapshots=snapshots)
 
     params_final, traces, best, snaps = run(
@@ -714,7 +724,8 @@ def _build_scan_run(model, params, *, lr, lr_adj, weight_decay,
                     subset_of_weights, hessian_structure, prior_precision,
                     grad_norm, early_stop, model_type, N,
                     fisher_type="type-2", sketch_size=8, column_chunk=None,
-                    mc_samples=1, fisher_seed=0, snapshots=False):
+                    mc_samples=1, diag_probes=None, probe_batch=None,
+                    fisher_seed=0, snapshots=False):
     """The whole-training jitted program of
     :func:`marglik_optimization_scan`, cached per model x static config with
     the split data as traced arguments. Re-tracing this program costs ~2 s
@@ -726,7 +737,8 @@ def _build_scan_run(model, params, *, lr, lr_adj, weight_decay,
                       n_hyper_stop, marglik_frequency, subset_of_weights,
                       hessian_structure, prior_precision, grad_norm,
                       early_stop, model_type, N, fisher_type, sketch_size,
-                      column_chunk, mc_samples, fisher_seed, snapshots,
+                      column_chunk, mc_samples, diag_probes, probe_batch,
+                      fisher_seed, snapshots,
                       PATIENCE, jax.tree_util.tree_structure(params))
     cache = _model_program_cache(model)
     if key is not None and key in cache:
@@ -749,6 +761,7 @@ def _build_scan_run(model, params, *, lr, lr_adj, weight_decay,
         model, "classification", hessian_structure, subset_of_weights, N,
         prior_precision, fisher_type=fisher_type, sketch_size=sketch_size,
         column_chunk=column_chunk, mc_samples=mc_samples,
+        diag_probes=diag_probes, probe_batch=probe_batch,
         fisher_seed=fisher_seed)
 
     def train_step(params, wstate, tr_idx, tr_y, rng):

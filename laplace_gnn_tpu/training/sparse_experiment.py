@@ -58,6 +58,12 @@ def argument_parser() -> argparse.ArgumentParser:
     p.add_argument("--sketch_size", type=int, default=8)
     p.add_argument("--column_chunk", type=int, default=None)
     p.add_argument("--mc_samples", type=int, default=1)
+    p.add_argument("--diag_probes", type=int, default=None,
+                   help="mixed-structure KFAC (sparsegat): Hutchinson "
+                        "probes for the attention-parameter diagonal")
+    p.add_argument("--probe_batch", type=int, default=None,
+                   help="vmapped probes per lax.map step (same numerics, "
+                        "amortized gather descriptors)")
     p.add_argument("--fisher_seed", type=int, default=0)
     p.add_argument("--n_mc_samples", type=int, default=30)
     p.add_argument("--checkpoint_dir", default=None,
@@ -204,6 +210,10 @@ def main(argv=None):
                               mc_samples=args.mc_samples)
     if args.column_chunk is not None:
         backend_kwargs["column_chunk"] = args.column_chunk
+    if args.diag_probes is not None:
+        backend_kwargs["diag_probes"] = args.diag_probes
+    if args.probe_batch is not None:
+        backend_kwargs["probe_batch"] = args.probe_batch
     la = Laplace(model, params, "classification",
                  subset_of_weights=args.subset_of_weights,
                  hessian_structure=args.hessian_structure,

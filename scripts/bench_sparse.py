@@ -6,8 +6,10 @@ Chained-fori_loop timing per BENCH_NOTES (no device->host fetch until all
 clocks stop).
 
 Usage: python scripts/bench_sparse.py [N] [avg_deg] [hidden] [model]
-(model: gcn | gat — gat runs the edge-parallel segment softmax attention,
-a workload the reference's dense (N, N, heads) layout cannot represent)
+(model: gcn | sage | gat — gat runs the edge-parallel segment softmax
+attention, a workload the reference's dense (N, N, heads) layout cannot
+represent; sage is row-normalized mean aggregation + concat, same
+SpMM/ELL kernels as gcn plus the 2x-wide first linear)
 """
 
 import os
@@ -37,7 +39,8 @@ def main():
 
     from laplace_gnn_tpu.graph.container import (add_ell_format,
                                                  sparse_from_edge_index)
-    from laplace_gnn_tpu.models.sparse_gnn import SparseGAT, SparseGCN
+    from laplace_gnn_tpu.models.sparse_gnn import (SparseGAT, SparseGCN,
+                                                   SparseSAGE)
     from laplace_gnn_tpu.curvature.losses import cross_entropy_sum
 
     rng = np.random.default_rng(0)
@@ -61,6 +64,10 @@ def main():
                                        dtype=jnp.float32)
         variants = {f"gat_h{h}": (g_gat, h) for h in (1, 4, 8)}
     else:
+        if MODEL == "sage":
+            # mean aggregation = row-normalized SpMM (SparseSAGEConv)
+            g_seg = sparse_from_edge_index(ei, N, normalize="row",
+                                           fmt="segment", dtype=jnp.float32)
         g_ell = add_ell_format(g_seg)
         variants = {
             "segment": g_seg,
@@ -78,8 +85,9 @@ def main():
                 log(f"{fmt}: K={g.ell_cols.shape[1]} "
                     f"padding={g.ell_cols.size / n_edges:.2f}x "
                     f"remainder={int(g.rem_src.shape[0])}")
-            model = SparseGCN(D, HIDDEN, C, LAYERS, jnp.asarray(X), g,
-                              dropout_p=0.0)
+            cls = SparseSAGE if MODEL == "sage" else SparseGCN
+            model = cls(D, HIDDEN, C, LAYERS, jnp.asarray(X), g,
+                        dropout_p=0.0)
         params = model.init(jax.random.PRNGKey(0), dtype=jnp.float32)
 
         @jax.jit

@@ -122,14 +122,18 @@ def main():
             return acc
 
         n_probes = int(os.environ.get("SGAT_PROBES", "8"))
+        probe_batch = int(os.environ.get("SGAT_PROBE_BATCH", "0")) or None
 
         def nm_of_logprior(lp, params):
             # diag_probes: the attention-parameter diagonal via k Hutchinson
             # vjps instead of ~900 exact tangent passes (curvature/kfac.py
-            # ::_mixed_diag_blocks — the exact path OOMs at this scale)
+            # ::_mixed_diag_blocks — the exact path OOMs at this scale).
+            # SGAT_PROBE_BATCH vmaps that many probes per lax.map step
+            # (descriptor-bound gathers amortize across batched cotangents)
             fn = make_neg_marglik_fn(
                 model, "classification", "kron", "all", N=N,
                 fisher_type="mc", diag_probes=n_probes,
+                probe_batch=probe_batch,
                 prior_precision=jnp.exp(lp))
             return fn(params, None, y)
 
@@ -147,8 +151,9 @@ def main():
                 0, K, body, (jnp.float32(0), jnp.float32(0), params))
             return acc
 
+        pb_tag = f"_pb{probe_batch}" if probe_batch else ""
         stages = [("fwd", fwd_loop, 20), ("train", train_loop, 10),
-                  (f"hyperstep_mc_p{n_probes}", hyper_loop, 10)]
+                  (f"hyperstep_mc_p{n_probes}{pb_tag}", hyper_loop, 10)]
         if os.environ.get("SGAT_SKIP_HYPER"):
             stages = stages[:2]
         if os.environ.get("SGAT_ONLY_HYPER"):

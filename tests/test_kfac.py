@@ -408,3 +408,32 @@ def test_mixed_diag_probes_differentiable_marglik():
     for a_, b_ in zip(jax.tree_util.tree_leaves(g_pr),
                       jax.tree_util.tree_leaves(g_ex)):
         assert np.all(np.isfinite(np.asarray(a_)))
+
+
+def test_mixed_diag_probe_batch_matches_sequential():
+    """probe_batch (vmapped probes per lax.map step) gives the same factors
+    as the sequential map — same zs, same math, only batching changes."""
+    from laplace_gnn_tpu.models import GAT
+
+    key = jax.random.PRNGKey(0)
+    n = 6
+    Xf = jax.random.normal(key, (n, D))
+    a = (jax.random.uniform(jax.random.PRNGKey(2), (n, n)) < 0.6)
+    adj = jnp.minimum(a + a.T + jnp.eye(n), 1.0).astype(Xf.dtype)
+    model = GAT(D, 4, C, 2, Xf, adj, heads=2, concat=False, dropout_p=0.0)
+    params = model.init(jax.random.PRNGKey(1))
+    idx = jnp.arange(n)
+    y = jnp.asarray([0, 1, 0, 1, 1, 0])
+
+    def probed(probe_batch):
+        return compute_kfac_factors(model, params, idx, y, "classification",
+                                    N=n, mixed_diag=True, seed=3,
+                                    diag_probes=6, probe_batch=probe_batch)
+
+    k_seq = probed(None)
+    for pb in (2, 3, 4, 6, 8):     # incl. non-dividing and > n_probes
+        k_b = probed(pb)
+        for ga, gb in zip(k_seq.kfacs, k_b.kfacs):
+            for fa, fb in zip(ga, gb):
+                np.testing.assert_allclose(np.asarray(fa), np.asarray(fb),
+                                           rtol=1e-6, atol=1e-8)

@@ -461,7 +461,8 @@ def test_sparse_experiment_cli_fisher_flags():
                "--model_type", "sparsegat", "--heads", "2",
                "--n_steps", "30", "--n_mc_samples", "5",
                "--ell", "1", "--agg_dtype", "bfloat16",
-               "--fisher_type", "mc", "--mc_samples", "2"])
+               "--fisher_type", "mc", "--mc_samples", "2",
+               "--diag_probes", "2", "--probe_batch", "2"])
     assert np.isfinite(r2["laplace"]["nll"])
 
 
