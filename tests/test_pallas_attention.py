@@ -237,3 +237,37 @@ def test_flash_model_curvature_paths_jvp_safe():
                  subset_of_weights="all", hessian_structure="kron")
     la.fit(ArrayLoader(idx, y))
     assert np.isfinite(float(la.log_marginal_likelihood()))
+
+
+def test_marglik_optimization_with_flash_model():
+    """Full marglik training with attention_impl='flash': train steps run
+    reverse-mode through the custom-vjp entry, hypersteps route curvature
+    jvps through the jvp_safe clone — the loop completes and matches the
+    plain model's marglik trace (CPU: both attention impls are the same
+    XLA math, so traces are identical)."""
+    from laplace_gnn_tpu.models import GAT
+    from laplace_gnn_tpu.training.marglik_gnn import marglik_optimization
+
+    n, D, HID, C = 16, 5, 6, 2
+    rng = np.random.default_rng(12)
+    a = (rng.random((n, n)) < 0.35).astype(np.float32)
+    adj = np.minimum(a + a.T + np.eye(n, dtype=np.float32), 1.0)
+    X = rng.standard_normal((n, D)).astype(np.float32)
+    y = jnp.asarray(rng.integers(0, C, n))
+    tr, va = jnp.arange(10), jnp.arange(10, 16)
+
+    kw = dict(lr=0.05, lr_adj=0.1, n_epochs=6, n_hypersteps=1,
+              n_epochs_burnin=2, marglik_frequency=2, model_type="gat",
+              verbose=False)
+    traces = {}
+    for name, impl in [("flash", "flash"), ("plain", None)]:
+        model = GAT(D, HID, C, 2, X, adj, heads=2, concat=False,
+                    dropout_p=0.0, attention_impl=impl)
+        params = model.init(jax.random.PRNGKey(0))
+        _, _, losses, _, nms = marglik_optimization(
+            model, params, tr, y[tr], va, y[va], **kw)
+        traces[name] = (np.asarray(losses), np.asarray(nms))
+    np.testing.assert_allclose(traces["flash"][0], traces["plain"][0],
+                               rtol=1e-6)
+    np.testing.assert_allclose(traces["flash"][1], traces["plain"][1],
+                               rtol=1e-6)
