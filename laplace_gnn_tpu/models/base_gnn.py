@@ -138,11 +138,17 @@ class BaseGNN:
         it. Curvature/marglik builders call this before closing over the
         model; training/inference keep the fused kernel. The two paths
         compute identical math, so mixing them inside one hyperstep is
-        exact (not an approximation swap). Returns ``self`` when no conv
-        uses a custom attention impl."""
+        exact (not an approximation swap).
+
+        ONLY the ``"flash"`` impl is stripped: a CALLABLE attention_impl
+        (e.g. ``make_row_sharded_gat_attention``'s shard_map closure) is
+        plain XLA and jvp-capable — removing it would silently drop the
+        sharding from the curvature path (the hyperstep would trace the
+        unsharded chunked attention: full N^2 temps back on every
+        device). Returns ``self`` when nothing needs stripping."""
         import copy
         convs = getattr(self, "convs", [])
-        if not any(getattr(c, "attention_impl", None) is not None
+        if not any(getattr(c, "attention_impl", None) == "flash"
                    for c in convs):
             return self
         m = copy.copy(self)
@@ -151,7 +157,7 @@ class BaseGNN:
         m.__dict__.pop("_jit_program_cache", None)
         m.convs = []
         for c in convs:
-            if getattr(c, "attention_impl", None) is not None:
+            if getattr(c, "attention_impl", None) == "flash":
                 c = copy.copy(c)
                 c.attention_impl = None
             m.convs.append(c)

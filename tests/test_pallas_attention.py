@@ -222,6 +222,7 @@ def test_flash_model_curvature_paths_jvp_safe():
     assert all(c.attention_impl is None for c in safe.convs)
     assert model_fl.convs[0].attention_impl == "flash"   # original untouched
 
+
     # fused hyperstep value+grad agree with the plain model
     for m in (model_fl, model_rf):
         nm = make_neg_marglik_fn(m, "classification", "kron", "all",
@@ -237,6 +238,21 @@ def test_flash_model_curvature_paths_jvp_safe():
                  subset_of_weights="all", hessian_structure="kron")
     la.fit(ArrayLoader(idx, y))
     assert np.isfinite(float(la.log_marginal_likelihood()))
+
+    # CALLABLE impls (e.g. the row-sharded shard_map attention) are plain
+    # XLA and jvp-capable: jvp_safe must NOT strip them — doing so would
+    # silently drop the sharding from the curvature path (regression
+    # guard: the 8-device GAT hyperstep memory ratio fell 6.0x -> 1.24x
+    # when an earlier jvp_safe stripped every non-None impl)
+    from laplace_gnn_tpu.models.layers import _masked_attention_chunked
+    impl = lambda a_s, a_d, adj_, hh, ns: _masked_attention_chunked(
+        a_s, a_d, adj_, hh, ns, 8)
+    model_cb = GAT(D, HID, C, 2, X, adj, attention_impl=impl, **kw)
+    assert model_cb.jvp_safe() is model_cb
+    nm_cb = make_neg_marglik_fn(model_cb, "classification", "kron", "all",
+                                N=12, prior_precision=0.7)
+    v_cb = nm_cb(params, idx, y[:12])       # jvp path works through it
+    np.testing.assert_allclose(float(v_cb), float(v_fl), rtol=1e-6)
 
 
 def test_marglik_optimization_with_flash_model():
