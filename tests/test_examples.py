@@ -141,3 +141,10 @@ def test_dict_input_llm_head(capsys):
     run_example("12_dict_input_llm_head.py")
     out = capsys.readouterr().out
     assert "dict-input predictive sums to 1: OK" in out
+
+
+def test_flash_attention_gat(capsys):
+    run_example("13_flash_attention_gat.py")
+    out = capsys.readouterr().out
+    assert "flash GAT marglik training" in out
+    assert "predictive rows" in out
