@@ -56,7 +56,7 @@ def _round_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _flash_kernel(adj_ref, asrc_ref, adst_ref, h_ref, out_ref,
+def _flash_kernel(occ_ref, adj_ref, asrc_ref, adst_ref, h_ref, out_ref,
                   m_out_ref, l_out_ref,
                   m_ref, l_ref, acc_ref, *, n_j: int, bm: int, bn: int,
                   negative_slope: float, n: int, attn_dtype):
@@ -68,38 +68,46 @@ def _flash_kernel(adj_ref, asrc_ref, adst_ref, h_ref, out_ref,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    H = asrc_ref.shape[0]
-    a = adj_ref[:]                                   # (bm, bn)
-    if not jnp.issubdtype(a.dtype, jnp.floating):
-        # Mosaic lacks sub-word integer vector compares on this target;
-        # the f32 upcast happens in-register on the (bm, bn) tile
-        a = a.astype(jnp.float32)
-    col_ids = j * bn + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 1)
-    valid = (a > 0) & (col_ids < n)                  # (bm, bn)
+    # occupancy gate: a tile with no edges contributes exactly nothing to
+    # the recurrence (s = -inf everywhere -> p = 0, m/l/acc unchanged), so
+    # all its VPU/MXU work is skipped. On locality-ordered (RCM/banded)
+    # graphs most tiles are empty and the N^2 softmax floor drops toward
+    # occupancy x cost; the adjacency tile DMA still happens (block specs
+    # prefetch unconditionally), which is the ~6% HBM floor.
+    @pl.when(occ_ref[i, j] > 0)
+    def _():
+        H = asrc_ref.shape[0]
+        a = adj_ref[:]                                   # (bm, bn)
+        if not jnp.issubdtype(a.dtype, jnp.floating):
+            # Mosaic lacks sub-word integer vector compares on this target;
+            # the f32 upcast happens in-register on the (bm, bn) tile
+            a = a.astype(jnp.float32)
+        col_ids = j * bn + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 1)
+        valid = (a > 0) & (col_ids < n)                  # (bm, bn)
 
-    a_src = asrc_ref[:].astype(jnp.float32)          # (H, bn)
-    a_dst = adst_ref[:].astype(jnp.float32)          # (H, bm)
-    s = a_src[:, None, :] + a_dst[:, :, None]        # (H, bm, bn)
-    s = jnp.where(s >= 0, s, negative_slope * s)     # leaky_relu
-    s = jnp.where(valid[None, :, :], s, -jnp.inf)
+        a_src = asrc_ref[:].astype(jnp.float32)          # (H, bn)
+        a_dst = adst_ref[:].astype(jnp.float32)          # (H, bm)
+        s = a_src[:, None, :] + a_dst[:, :, None]        # (H, bm, bn)
+        s = jnp.where(s >= 0, s, negative_slope * s)     # leaky_relu
+        s = jnp.where(valid[None, :, :], s, -jnp.inf)
 
-    m_old = m_ref[:]                                 # (H, bm)
-    m_new = jnp.maximum(m_old, jnp.max(s, axis=2))
-    m_new = jnp.maximum(m_new, _NEG_BIG)             # floor: stays finite
-    p = jnp.exp(s - m_new[:, :, None])               # masked -> exactly 0
-    c = jnp.exp(m_old - m_new)                       # (H, bm)
-    m_ref[:] = m_new
-    l_ref[:] = c * l_ref[:] + jnp.sum(p, axis=2)
-    # per-head contraction over the source block: (H, bm, bn) @ (H, bn, F).
-    # attn_dtype=bf16 runs the MXU at 4x the f32 rate (f32 accumulation);
-    # at N=16384/H=8 the f32 contraction IS the kernel's bottleneck
-    # (~1.1 TFLOP/forward ~= 22 ms at the v5e f32 rate)
-    cd = attn_dtype or h_ref.dtype
-    pv = jax.lax.dot_general(
-        p.astype(cd), h_ref[:].astype(cd),
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)          # (H, bm, F)
-    acc_ref[:] = c[:, :, None] * acc_ref[:] + pv
+        m_old = m_ref[:]                                 # (H, bm)
+        m_new = jnp.maximum(m_old, jnp.max(s, axis=2))
+        m_new = jnp.maximum(m_new, _NEG_BIG)             # floor: finite
+        p = jnp.exp(s - m_new[:, :, None])               # masked -> 0
+        c = jnp.exp(m_old - m_new)                       # (H, bm)
+        m_ref[:] = m_new
+        l_ref[:] = c * l_ref[:] + jnp.sum(p, axis=2)
+        # per-head contraction over the source block: (H, bm, bn) @
+        # (H, bn, F). attn_dtype=bf16 runs the MXU at 4x the f32 rate
+        # (f32 accumulation); at N=16384/H=8 the f32 contraction IS the
+        # kernel's bottleneck (~1.1 TFLOP/forward ~= 22 ms at v5e f32)
+        cd = attn_dtype or h_ref.dtype
+        pv = jax.lax.dot_general(
+            p.astype(cd), h_ref[:].astype(cd),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)          # (H, bm, F)
+        acc_ref[:] = c[:, :, None] * acc_ref[:] + pv
 
     @pl.when(j == n_j - 1)
     def _():
@@ -111,13 +119,31 @@ def _flash_kernel(adj_ref, asrc_ref, adst_ref, h_ref, out_ref,
         l_out_ref[:] = l_ref[:]
 
 
+def _tile_occupancy(adj, bm, bn, pad_i, pad_j):
+    """(n_i, n_j) int32 tile-occupancy table: 1 where a (bm, bn) adjacency
+    tile contains any edge. Two strided reduce_window stages (columns then
+    rows) — one HBM pass over the adjacency, no padded copy, and per-window
+    VMEM stays tiny (a single (bm, bn) window at 256x512 needs ~386 MB of
+    scoped VMEM and fails to compile)."""
+    e = (adj != 0).astype(jnp.int32)
+    cols = jax.lax.reduce_window(
+        e, jnp.int32(0), jax.lax.max,
+        window_dimensions=(1, bn), window_strides=(1, bn),
+        padding=((0, 0), (0, pad_j)))                    # (R, n_j)
+    return jax.lax.reduce_window(
+        cols, jnp.int32(0), jax.lax.max,
+        window_dimensions=(bm, 1), window_strides=(bm, 1),
+        padding=((0, pad_i), (0, 0)))                    # (n_i, n_j)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("negative_slope", "bm", "bn",
-                                    "interpret", "attn_dtype"))
+                                    "interpret", "attn_dtype", "tile_skip"))
 def _flash_fwd_pallas_aux(alpha_src, alpha_dst, adj, h,
                           negative_slope: float = 0.2,
                           bm: int = 256, bn: int = 512,
-                          interpret: bool = False, attn_dtype=None):
+                          interpret: bool = False, attn_dtype=None,
+                          tile_skip: bool = True):
     """(N, H)/(R, H) scores material + (R, N) adjacency + (N, H, F)
     values -> ((R, H, F) attention output, (H, Rp) row max m, (H, Rp)
     denominator l), never materializing anything (R, N)-by-H shaped in
@@ -146,6 +172,10 @@ def _flash_fwd_pallas_aux(alpha_src, alpha_dst, adj, h,
     adst_t = jnp.pad(alpha_dst.T, ((0, 0), (0, pad_i)))   # (H, Nip)
     h_t = jnp.moveaxis(h, 1, 0)                           # (H, N, F)
     h_t = jnp.pad(h_t, ((0, 0), (0, pad_j), (0, Fp - F)))
+    # tile_skip: one extra HBM pass over the adjacency buys skipping all
+    # VPU/MXU work of empty tiles (measured table in BENCH_NOTES r5)
+    occ = (_tile_occupancy(adj, bm, bn, pad_i, pad_j) if tile_skip
+           else jnp.ones((n_i, n_j), jnp.int32))
 
     out, m, l = pl.pallas_call(
         functools.partial(_flash_kernel, n_j=n_j, bm=bm, bn=bn,
@@ -154,6 +184,11 @@ def _flash_fwd_pallas_aux(alpha_src, alpha_dst, adj, h,
                                       if attn_dtype else None)),
         grid=(n_i, n_j),
         in_specs=[
+            # whole table resident in SMEM (8 KB at N=16384), indexed
+            # [i, j] per step — a (1, 1) block fails the TPU lowering's
+            # divisible-by-(8, 128) rule, a full-shape block is exempt
+            pl.BlockSpec((n_i, n_j), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((bm, bn), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((H, bn), lambda i, j: (0, j),
@@ -181,21 +216,23 @@ def _flash_fwd_pallas_aux(alpha_src, alpha_dst, adj, h,
             + n * H * Fp * h.dtype.itemsize,
             transcendentals=n * n * H),
         interpret=interpret,
-    )(adj, asrc_t, adst_t, h_t)
+    )(occ, adj, asrc_t, adst_t, h_t)
     return jnp.moveaxis(out[:, :R, :F], 0, 1), m, l   # (R, H, F), 2x (H, Rp)
 
 
 def _flash_fwd_pallas(alpha_src, alpha_dst, adj, h,
                       negative_slope: float = 0.2,
                       bm: int = 256, bn: int = 512,
-                      interpret: bool = False, attn_dtype=None):
+                      interpret: bool = False, attn_dtype=None,
+                      tile_skip: bool = True):
     return _flash_fwd_pallas_aux(alpha_src, alpha_dst, adj, h,
                                  negative_slope=negative_slope, bm=bm, bn=bn,
                                  interpret=interpret,
-                                 attn_dtype=attn_dtype)[0]
+                                 attn_dtype=attn_dtype,
+                                 tile_skip=tile_skip)[0]
 
 
-def _flash_bwd_kernel(adj_ref, asrc_ref, adst_ref, h_ref, g_ref,
+def _flash_bwd_kernel(occ_ref, adj_ref, asrc_ref, adst_ref, h_ref, g_ref,
                       m_ref, linv_ref, d_ref,
                       dh_ref, dasrc_ref, dadst_ref,
                       dh_acc, dasrc_acc, *, n_i: int, bm: int, bn: int,
@@ -215,47 +252,60 @@ def _flash_bwd_kernel(adj_ref, asrc_ref, adst_ref, h_ref, g_ref,
         dh_acc[:] = jnp.zeros_like(dh_acc)
         dasrc_acc[:] = jnp.zeros_like(dasrc_acc)
 
-    a = adj_ref[:]                                   # (bm, bn)
-    if not jnp.issubdtype(a.dtype, jnp.floating):
-        a = a.astype(jnp.float32)
-    col_ids = j * bn + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 1)
-    row_ids = i * bm + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 0)
-    # row_ids < r guards the adjacency's OOB-garbage padded target rows:
-    # in the forward those rows only ever reached sliced-off outputs, but
-    # here an unmasked garbage row would pollute the dh/da_src sums
-    valid = (a > 0) & (col_ids < n) & (row_ids < r)  # (bm, bn)
+    # occupancy gate (same contract as the forward: an empty tile has
+    # p = 0 so every contribution vanishes); the dadst partial is an
+    # unconditional per-(j, i) output block, so the empty branch must
+    # write its zeros explicitly
+    occ = occ_ref[i, j]
 
-    a_src = asrc_ref[:].astype(jnp.float32)          # (H, bn)
-    a_dst = adst_ref[:].astype(jnp.float32)          # (H, bm)
-    z = a_src[:, None, :] + a_dst[:, :, None]        # (H, bm, bn)
-    act = jnp.where(z >= 0, z, negative_slope * z)
-    dact = jnp.where(z >= 0, 1.0, negative_slope)
-    m = m_ref[:]                                     # (H, bm)
-    linv = linv_ref[:]                               # (H, bm); 0 if l == 0
-    # exponent forced to -inf on invalid entries BEFORE exp: padded rows
-    # carry m = -1e30, so a finite act there would overflow exp and the
-    # resulting inf * linv(=0) would be NaN, not 0
-    e = jnp.exp(jnp.where(valid[None, :, :],
-                          act - m[:, :, None], -jnp.inf))
-    p = e * linv[:, :, None]                         # normalized weights
+    @pl.when(occ > 0)
+    def _():
+        a = adj_ref[:]                                   # (bm, bn)
+        if not jnp.issubdtype(a.dtype, jnp.floating):
+            a = a.astype(jnp.float32)
+        col_ids = j * bn + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 1)
+        row_ids = i * bm + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 0)
+        # row_ids < r guards the adjacency's OOB-garbage padded target
+        # rows: in the forward those rows only ever reached sliced-off
+        # outputs, but here an unmasked garbage row would pollute the
+        # dh/da_src sums
+        valid = (a > 0) & (col_ids < n) & (row_ids < r)  # (bm, bn)
 
-    cd = attn_dtype or h_ref.dtype
-    g = g_ref[:]                                     # (H, bm, F)
-    h = h_ref[:]                                     # (H, bn, F)
-    # dp[h,m,n] = g[h,m,:] . h[h,n,:]  (MXU, F-contraction)
-    dp = jax.lax.dot_general(
-        g.astype(cd), h.astype(cd),
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)          # (H, bm, bn)
-    ds = p * (dp - d_ref[:][:, :, None])             # softmax correction
-    dz = ds * dact
-    dadst_ref[0] = jnp.sum(dz, axis=2)               # (H, bm) partial
-    dasrc_acc[:] += jnp.sum(dz, axis=1)              # (H, bn)
-    # dh[h,n,:] += sum_m p[h,m,n] * g[h,m,:]  (MXU, bm-contraction)
-    dh_acc[:] += jax.lax.dot_general(
-        p.astype(cd), g.astype(cd),
-        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)          # (H, bn, F)
+        a_src = asrc_ref[:].astype(jnp.float32)          # (H, bn)
+        a_dst = adst_ref[:].astype(jnp.float32)          # (H, bm)
+        z = a_src[:, None, :] + a_dst[:, :, None]        # (H, bm, bn)
+        act = jnp.where(z >= 0, z, negative_slope * z)
+        dact = jnp.where(z >= 0, 1.0, negative_slope)
+        m = m_ref[:]                                     # (H, bm)
+        linv = linv_ref[:]                               # (H, bm); 0 @ l=0
+        # exponent forced to -inf on invalid entries BEFORE exp: padded
+        # rows carry m = -1e30, so a finite act there would overflow exp
+        # and the resulting inf * linv(=0) would be NaN, not 0
+        e = jnp.exp(jnp.where(valid[None, :, :],
+                              act - m[:, :, None], -jnp.inf))
+        p = e * linv[:, :, None]                         # normalized
+
+        cd = attn_dtype or h_ref.dtype
+        g = g_ref[:]                                     # (H, bm, F)
+        h = h_ref[:]                                     # (H, bn, F)
+        # dp[h,m,n] = g[h,m,:] . h[h,n,:]  (MXU, F-contraction)
+        dp = jax.lax.dot_general(
+            g.astype(cd), h.astype(cd),
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)          # (H, bm, bn)
+        ds = p * (dp - d_ref[:][:, :, None])             # softmax corr.
+        dz = ds * dact
+        dadst_ref[0] = jnp.sum(dz, axis=2)               # (H, bm) partial
+        dasrc_acc[:] += jnp.sum(dz, axis=1)              # (H, bn)
+        # dh[h,n,:] += sum_m p[h,m,n] * g[h,m,:]  (MXU, bm-contraction)
+        dh_acc[:] += jax.lax.dot_general(
+            p.astype(cd), g.astype(cd),
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)          # (H, bn, F)
+
+    @pl.when(occ == 0)
+    def _():
+        dadst_ref[0] = jnp.zeros_like(dadst_ref[0])
 
     @pl.when(i == n_i - 1)
     def _():
@@ -265,11 +315,12 @@ def _flash_bwd_kernel(adj_ref, asrc_ref, adst_ref, h_ref, g_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("negative_slope", "bm", "bn",
-                                    "interpret", "attn_dtype"))
+                                    "interpret", "attn_dtype", "tile_skip"))
 def _flash_bwd_pallas(alpha_src, alpha_dst, adj, h, g, out, m, l,
                       negative_slope: float = 0.2,
                       bm: int = 256, bn: int = 256,
-                      interpret: bool = False, attn_dtype=None):
+                      interpret: bool = False, attn_dtype=None,
+                      tile_skip: bool = True):
     # default tiles measured at N=16384/H=8/F=64: 22.8 ms (256x256) vs
     # 23.8 (128x256), 43.2 (256x128); 128x512/384x256 exceed VMEM
     """Fused reverse pass: (cotangent g (R, H, F), forward output ``out``,
@@ -303,6 +354,9 @@ def _flash_bwd_pallas(alpha_src, alpha_dst, adj, h, g, out, m, l,
     m = jnp.pad(m[:, :R], ((0, 0), (0, pad_i)), constant_values=_NEG_BIG)
     l = jnp.pad(l[:, :R], ((0, 0), (0, pad_i)))
     linv = jnp.where(l > 0, 1.0 / jnp.where(l > 0, l, 1.0), 0.0)
+    occ = (_tile_occupancy(adj, bm, bn, pad_i, pad_j) if tile_skip
+           else jnp.ones((n_i, n_j), jnp.int32))
+    n_i2, n_j2 = n_i, n_j
 
     dh_t, dasrc_t, dadst_parts = pl.pallas_call(
         functools.partial(_flash_bwd_kernel, n_i=n_i, bm=bm, bn=bn,
@@ -311,6 +365,8 @@ def _flash_bwd_pallas(alpha_src, alpha_dst, adj, h, g, out, m, l,
                                       if attn_dtype else None)),
         grid=(n_j, n_i),
         in_specs=[
+            pl.BlockSpec((n_i2, n_j2), lambda j, i: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((bm, bn), lambda j, i: (i, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((H, bn), lambda j, i: (0, j),
@@ -345,7 +401,7 @@ def _flash_bwd_pallas(alpha_src, alpha_dst, adj, h, g, out, m, l,
             + 2 * n * H * Fp * h.dtype.itemsize,
             transcendentals=n * R * H),
         interpret=interpret,
-    )(adj, asrc_t, adst_t, h_t, g_t, m, linv, d_t)
+    )(occ, adj, asrc_t, adst_t, h_t, g_t, m, linv, d_t)
 
     g_asrc = dasrc_t[:, :n].T.astype(alpha_src.dtype)          # (N, H)
     g_adst = jnp.sum(dadst_parts, axis=0)[:, :R].T \

@@ -287,3 +287,39 @@ def test_marglik_optimization_with_flash_model():
                                rtol=1e-6)
     np.testing.assert_allclose(traces["flash"][1], traces["plain"][1],
                                rtol=1e-6)
+
+
+def test_tile_skip_exact_on_banded_graph():
+    """Occupancy-gated tiles (tile_skip) are bit-exact vs the ungated
+    kernel on a banded adjacency where most tiles are empty — fwd, stats,
+    and the fused backward."""
+    from laplace_gnn_tpu.ops.pallas_attention import (_flash_bwd_pallas,
+                                                      _flash_fwd_pallas_aux)
+    n, H, F = 96, 2, 5
+    rng = np.random.default_rng(13)
+    band = 8
+    a = np.zeros((n, n), dtype=np.float32)
+    for i in range(n):
+        lo, hi = max(0, i - band), min(n, i + band + 1)
+        a[i, lo:hi] = (rng.random(hi - lo) < 0.4)
+    adj = jnp.asarray(np.minimum(a + a.T + np.eye(n, dtype=np.float32), 1.0))
+    h = jnp.asarray(rng.standard_normal((n, H, F)), jnp.float32)
+    a_src = jnp.asarray(rng.standard_normal((n, H)), jnp.float32)
+    a_dst = jnp.asarray(rng.standard_normal((n, H)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((n, H, F)), jnp.float32)
+
+    kw = dict(negative_slope=0.2, bm=16, bn=128, interpret=True)
+    o_s, m_s, l_s = _flash_fwd_pallas_aux(a_src, a_dst, adj, h,
+                                          tile_skip=True, **kw)
+    o_n, m_n, l_n = _flash_fwd_pallas_aux(a_src, a_dst, adj, h,
+                                          tile_skip=False, **kw)
+    for x, yv in ((o_s, o_n), (m_s, m_n), (l_s, l_n)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(yv))
+
+    bw = dict(negative_slope=0.2, bm=16, bn=128, interpret=True)
+    gs = _flash_bwd_pallas(a_src, a_dst, adj, h, g, o_s, m_s, l_s,
+                           tile_skip=True, **bw)
+    gn = _flash_bwd_pallas(a_src, a_dst, adj, h, g, o_n, m_n, l_n,
+                           tile_skip=False, **bw)
+    for x, yv in zip(gs, gn):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(yv))
